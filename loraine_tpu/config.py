@@ -1,0 +1,118 @@
+"""Solver options.
+
+Mirrors the reference option surface (Loraine.jl `src/Solvers.jl:169-302`,
+`docs/src/Loraine_options.md`) with the same names, defaults, and
+validation/auto-correction semantics (minus its known bugs: the reference reads
+``datasparsity`` from the ``"maxit"`` key at `src/Solvers.jl:203`; we read it
+from ``datasparsity``), plus TPU-specific knobs (``dtype``, ``pad_multiple``).
+"""
+from __future__ import annotations
+
+import dataclasses
+import warnings
+from typing import Any, Dict, Optional
+
+
+@dataclasses.dataclass
+class Options:
+    """Options for the interior-point solver.
+
+    Reference semantics: Loraine.jl `docs/src/Loraine_options.md:4-56`.
+
+    Attributes:
+      kit: 0 = direct (Cholesky) linear solver, 1 = preconditioned CG.
+      tol_cg: initial CG tolerance (relative residual).
+      tol_cg_up: per-IPM-iteration multiplicative CG tolerance update.
+      tol_cg_min: CG tolerance floor.
+      eDIMACS: stopping tolerance on the sum of DIMACS errors.
+      preconditioner: 0 none / 1 H_alpha / 2 H_beta / 4 hybrid (beta -> alpha).
+      erank: estimated rank of the primal solution (H_alpha subspace size).
+      aamat: ttau formula selector: 0 -> min(lambda_tail); otherwise
+        (min+mean)/2 of the tail spectrum.
+      fig_ev: unused diagnostic flag (kept for option-surface parity).
+      verb: 0 silent, 1 short iteration log, 2 full DIMACS breakdown.
+      datarank: 0 full-rank data; -1 factorize each A_i as +/- b_i b_i^T
+        (falls back to 0 when factorization error > 5e-6, reference
+        `src/model.jl:189-191`).
+      initpoint: 0 = simple identity start, 1 = SDPT3-like scaled start.
+      timing: print per-phase timing tree at the end of the solve.
+      maxit: IPM iteration limit.
+      datasparsity: nnz threshold below which a data matrix is *eligible* for
+        sparse handling. On TPU dense batched contraction usually wins; this
+        option is accepted for parity and reserved for the structured-sparse
+        Schur path.
+      dtype: 'float64' (default; IPM needs f64 late iterations) or 'float32'.
+      pad_multiple: pad LMI block sizes up to a multiple of this (TPU tiling).
+      step_eig: 'exact' batched eigh for steplengths, reserved for cheaper
+        bound-based variants.
+    """
+
+    kit: int = 0
+    tol_cg: float = 1.0e-2
+    tol_cg_up: float = 0.5
+    tol_cg_min: float = 1.0e-7
+    eDIMACS: float = 1.0e-7
+    preconditioner: int = 1
+    erank: int = 1
+    aamat: int = 1
+    fig_ev: int = 0
+    verb: int = 1
+    datarank: int = 0
+    initpoint: int = 0
+    timing: int = 1
+    maxit: int = 100
+    datasparsity: int = 8
+    # TPU-specific
+    dtype: str = "float64"
+    pad_multiple: int = 8
+    step_eig: str = "exact"
+    cg_maxiter: int = 10000
+
+    def validated(self) -> "Options":
+        """Range-check options, auto-correcting out-of-range values with a
+        warning (reference `src/Solvers.jl:263-291`)."""
+        o = dataclasses.replace(self)
+        if o.kit < 0 or o.kit > 1:
+            o.kit = 0
+            _warn(f"Parameter kit out of range, setting kit = {o.kit}")
+        if o.tol_cg < o.tol_cg_min and o.kit == 1:
+            o.tol_cg = o.tol_cg_min
+            _warn(f"Parameter tol_cg smaller than tol_cg_min, setting tol_cg = {o.tol_cg:.1e}")
+        if o.tol_cg_min > o.eDIMACS and o.kit == 1:
+            o.tol_cg_min = o.eDIMACS
+            _warn(f"Parameter tol_cg_min switched to eDIMACS = {o.eDIMACS:.1e}")
+        if o.kit == 1 and (o.preconditioner < 0 or o.preconditioner > 4):
+            o.preconditioner = 1
+            _warn(f"Parameter preconditioner out of range, setting preconditioner = {o.preconditioner}")
+        if o.erank < 0:
+            o.erank = 1
+            _warn(f"Parameter erank negative, setting erank = {o.erank}")
+        if o.datarank < -1:
+            o.datarank = 0
+            _warn(f"Parameter datarank out of range, setting datarank = {o.datarank}")
+        if o.initpoint < 0 or o.initpoint > 1:
+            o.initpoint = 1
+            _warn(f"Parameter initpoint out of range, setting initpoint = {o.initpoint}")
+        if o.dtype not in ("float32", "float64"):
+            raise ValueError(f"dtype must be 'float32' or 'float64', got {o.dtype!r}")
+        if o.pad_multiple < 1:
+            o.pad_multiple = 1
+        return o
+
+    @classmethod
+    def from_dict(cls, options: Optional[Dict[str, Any]] = None) -> "Options":
+        """Build from a flat string-keyed dict (reference `load`); unknown
+        keys raise, matching the MOI adapter's attribute validation."""
+        options = dict(options or {})
+        fields = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(options) - fields
+        if unknown:
+            raise ValueError(f"Unknown option(s): {sorted(unknown)}; known: {sorted(fields)}")
+        return cls(**options)
+
+
+def _warn(msg: str) -> None:
+    warnings.warn(msg, stacklevel=3)
+
+
+DEFAULT_OPTIONS = Options()

@@ -1,0 +1,383 @@
+"""One predictor-corrector IPM iteration as a single jitted function.
+
+Covers the reference's `myIPstep` (`src/Solvers.jl:448-478`) plus
+`check_convergence` (`:496-568`): NT scaling, predictor (direct Schur
+assembly + Cholesky, or matrix-free PCG with H_alpha/H_beta), Mehrotra
+sigma update, corrector, steplengths via batched eigenvalue bounds, iterate
+update, and the six DIMACS errors. All per-block loops of the reference are
+batched ops over stacked block groups; the outer Python loop over *groups*
+(few, distinct padded sizes) unrolls at trace time.
+
+Convergence-error convention preserved from the reference: err1/err3 use the
+residuals computed at the *start* of the iteration (pre-update iterate) while
+err2/4/5/6 use the updated iterate — this keeps iteration counts comparable.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Options
+from ..problem import SDPProblem
+from ..ops.cg import pcg
+from ..ops.linalg import btrace, chol_reg, cho_solve, eigmin, sym
+from ..ops.nt_scaling import NTScaling, nt_scale
+from ..ops.precond import prep_alpha, prep_beta
+from ..ops.schur import Aadj, Aop, lp_weight, schur_group, schur_lp
+from .initial import EXPON, TAU
+from .state import IPMState, StepStats
+
+__all__ = ["build_step", "jitted_step"]
+
+_STEP_EPS = -1e-6  # "essentially feasible direction" threshold
+
+
+def _steplen(ev: jax.Array) -> jax.Array:
+    """alpha = 0.99 if lambda_min > -1e-6 else min(1, -tau/lambda_min)
+    (`src/predictor_corrector.jl:274-291`)."""
+    return jnp.where(ev > _STEP_EPS, 0.99, jnp.minimum(1.0, -TAU / ev))
+
+
+def _safe_pow(base: jax.Array, expo: jax.Array) -> jax.Array:
+    b = jnp.maximum(base, 1e-300)
+    return jnp.exp(expo * jnp.log(b))
+
+
+class _GroupDirs(NamedTuple):
+    delX: jax.Array
+    delS: jax.Array
+    alpha: jax.Array  # [nb]
+    beta: jax.Array  # [nb]
+
+
+def _group_dirs(
+    g,
+    nt: NTScaling,
+    Rd: jax.Array,
+    X: jax.Array,
+    dely: jax.Array,
+    *,
+    predict: bool,
+    sig_mu: Optional[jax.Array] = None,
+    RNT: Optional[jax.Array] = None,
+) -> _GroupDirs:
+    """Directions and per-block steplengths (`find_step`,
+    `src/predictor_corrector.jl:248-293`)."""
+    GT = jnp.swapaxes(nt.G, -1, -2)
+    delS = Rd - Aadj(g, dely)
+    Xi = nt.W @ delS @ nt.W
+    if predict:
+        delX = sym(-X - Xi)
+    else:
+        delX = sym(sig_mu * nt.Si - X - Xi + nt.G @ RNT @ GT)
+
+    delSb = GT @ delS @ nt.G
+    delXb = nt.Gi @ delX @ jnp.swapaxes(nt.Gi, -1, -2)
+    scaleX = sym(nt.DDsi[:, :, None] * delXb * nt.DDsi[:, None, :])
+    scaleS = sym(nt.DDsi[:, :, None] * delSb * nt.DDsi[:, None, :])
+    alpha = _steplen(eigmin(scaleX))
+    beta = _steplen(eigmin(scaleS))
+    return _GroupDirs(delX=delX, delS=delS, alpha=alpha, beta=beta)
+
+
+class _LinDirs(NamedTuple):
+    delX: jax.Array
+    delS: jax.Array
+    alpha: jax.Array
+    beta: jax.Array
+
+
+def _lin_dirs(
+    problem,
+    st: IPMState,
+    Si_lin: jax.Array,
+    Rd_lin: jax.Array,
+    dely: jax.Array,
+    *,
+    predict: bool,
+    sig_mu: Optional[jax.Array] = None,
+    RNT_lin: Optional[jax.Array] = None,
+) -> _LinDirs:
+    """LP-cone directions and steplengths (`find_step_lin`,
+    `src/predictor_corrector.jl:329-347`)."""
+    delS = Rd_lin - problem.C_lin.T @ dely
+    delX = -st.X_lin - st.X_lin * Si_lin * delS
+    if not predict:
+        delX = delX + sig_mu * Si_lin + RNT_lin
+    mX = jnp.min(delX / st.X_lin)
+    mS = jnp.min(delS / st.S_lin)
+    return _LinDirs(delX=delX, delS=delS, alpha=_steplen(mX), beta=_steplen(mS))
+
+
+def build_step(opts: Options, precond_kind: int):
+    """Return step(problem, state, tol_cg) -> (new_state, StepStats).
+
+    ``opts`` and ``precond_kind`` are static (the hybrid 4 -> 1 switch of
+    `src/Solvers.jl:339-347` rebuilds the step once at the switch).
+    """
+    kit = opts.kit
+
+    def step(problem: SDPProblem, st: IPMState, tol_cg: jax.Array):
+        dtype = problem.b.dtype
+        nlin = problem.nlin
+        nlmi = problem.nlmi
+        ngroups = len(problem.groups)
+        denom = problem.sum_msizes + nlin
+        one = jnp.ones((), dtype=dtype)
+
+        # ---- mu (`find_mu`, src/Solvers.jl:480-494)
+        tr = jnp.zeros((), dtype=dtype)
+        for X, S in zip(st.X, st.S):
+            tr = tr + btrace(X, S)
+        if nlin:
+            tr = tr + jnp.dot(st.X_lin, st.S_lin)
+        mu = tr / denom
+
+        # ---- NT scaling (prepare_W)
+        nts = tuple(nt_scale(X, S) for X, S in zip(st.X, st.S))
+        nt_ok = one.astype(bool)
+        for nt in nts:
+            nt_ok = jnp.logical_and(nt_ok, nt.ok)
+        Si_lin = (1.0 / st.S_lin) if nlin else None
+        lpw = lp_weight(st.X_lin, Si_lin) if nlin else None
+
+        # ---- residuals (`predictor`, src/predictor_corrector.jl:8-22)
+        Rp = problem.b
+        for g, X in zip(problem.groups, st.X):
+            Rp = Rp - Aop(g, X)
+        if nlin:
+            Rp = Rp - problem.C_lin @ st.X_lin
+        Rds = tuple(
+            sym(g.C - S - Aadj(g, st.y)) for g, S in zip(problem.groups, st.S)
+        )
+        Rd_lin = (problem.d_lin - st.S_lin - problem.C_lin.T @ st.y) if nlin else None
+
+        # ---- predictor RHS (`makeRHS`, src/makeBBBB.jl:221-228)
+        h = Rp
+        for g, nt, Rd, S in zip(problem.groups, nts, Rds, st.S):
+            h = h + Aop(g, nt.W @ (Rd + S) @ nt.W)
+        if nlin:
+            h = h + problem.C_lin @ (lpw * Rd_lin + st.X_lin)
+
+        # ---- predictor solve
+        h_shifts = jnp.int32(0)
+        h_ok = one.astype(bool)
+        cg_pre = jnp.int32(0)
+        cg_cor = jnp.int32(0)
+        if kit == 0:
+            H = jnp.zeros((problem.n, problem.n), dtype=dtype)
+            for g, nt in zip(problem.groups, nts):
+                H = H + schur_group(g, nt.W, nt.G)
+            if nlin:
+                H = H + schur_lp(problem.C_lin, lpw)
+            hc = chol_reg(sym(H), 1e-4, 1000)
+            h_shifts, h_ok = hc.shifts, hc.ok
+            dely = cho_solve(hc.L, h)
+            solve2 = lambda rhs: cho_solve(hc.L, rhs)
+        else:
+            def matvec(x):
+                r = jnp.zeros_like(x)
+                for g, nt in zip(problem.groups, nts):
+                    r = r + Aop(g, nt.W @ Aadj(g, x) @ nt.W)
+                if nlin:
+                    r = r + problem.C_lin @ (lpw * (problem.C_lin.T @ x))
+                return r
+
+            if precond_kind == 0:
+                precond = lambda x: x
+            elif precond_kind == 1:
+                pa = prep_alpha(problem, nts, lpw, opts.erank, opts.aamat)
+                precond = lambda x: pa.apply_with(problem, x)
+            else:  # 2 or 4 (hybrid starts as beta)
+                pb = prep_beta(problem, nts, lpw, opts.erank, opts.aamat)
+                precond = pb.apply
+            dely, cg_pre = pcg(matvec, h, precond, tol_cg, opts.cg_maxiter)
+            solve2 = None  # corrector re-runs CG with the same preconditioner
+
+        # ---- predictor directions + steplengths
+        dirs = tuple(
+            _group_dirs(g, nt, Rd, X, dely, predict=True)
+            for g, nt, Rd, X in zip(problem.groups, nts, Rds, st.X)
+        )
+        if nlin:
+            ld = _lin_dirs(problem, st, Si_lin, Rd_lin, dely, predict=True)
+            alpha_lin, beta_lin = ld.alpha, ld.beta
+        else:
+            alpha_lin = beta_lin = one
+        alpha_min = alpha_lin
+        beta_min = beta_lin
+        for d in dirs:
+            alpha_min = jnp.minimum(alpha_min, jnp.min(d.alpha))
+            beta_min = jnp.minimum(beta_min, jnp.min(d.beta))
+
+        # trial point + NT correction term (`find_step`,
+        # src/predictor_corrector.jl:302-310)
+        trXnSn = jnp.zeros((), dtype=dtype)
+        RNTs = []
+        for g, nt, d, X, S in zip(problem.groups, nts, dirs, st.X, st.S):
+            Xn = X + d.alpha[:, None, None] * d.delX
+            Sn = S + d.beta[:, None, None] * d.delS
+            trXnSn = trXnSn + btrace(Xn, Sn)
+            deed = nt.D[:, :, None] + nt.D[:, None, :]
+            N = nt.Gi @ d.delX @ d.delS @ nt.G
+            RNTs.append(-(N + jnp.swapaxes(N, -1, -2)) / deed)
+        if nlin:
+            Xn_lin = st.X_lin + ld.alpha * ld.delX
+            Sn_lin = st.S_lin + ld.beta * ld.delS
+            trXnSn = trXnSn + jnp.dot(Xn_lin, Sn_lin)
+            RNT_lin = -(ld.delX * ld.delS) * Si_lin
+        else:
+            RNT_lin = None
+
+        # ---- sigma update (`sigma_update`, src/predictor_corrector.jl:148-179)
+        step_pred = jnp.minimum(alpha_min, beta_min)
+        expon_used = jnp.where(
+            mu > 1e-6,
+            jnp.where(
+                step_pred < 1.0 / math.sqrt(3.0),
+                one,
+                jnp.maximum(EXPON, 3.0 * step_pred**2),
+            ),
+            jnp.maximum(one, jnp.minimum(EXPON * one, 3.0 * step_pred**2)),
+        )
+        ratio = trXnSn / denom / mu
+        sigma = jnp.where(
+            trXnSn < 0,
+            jnp.asarray(0.8, dtype=dtype),
+            jnp.minimum(one, _safe_pow(ratio, expon_used)),
+        )
+        sig_mu = sigma * mu
+
+        # ---- corrector RHS (`corrector`, src/predictor_corrector.jl:183-192)
+        h2 = Rp
+        for g, nt, Rd, RNT in zip(problem.groups, nts, Rds, RNTs):
+            GT = jnp.swapaxes(nt.G, -1, -2)
+            inner = (
+                GT @ Rd @ nt.G
+                + _bdiag(nt.D)
+                - _bdiag(sig_mu / nt.D)
+                - RNT
+            )
+            h2 = h2 + Aop(g, nt.G @ inner @ GT)
+        if nlin:
+            tmp = ld.delX * ld.delS * Si_lin - sig_mu * Si_lin
+            h2 = h2 + problem.C_lin @ (lpw * Rd_lin + st.X_lin + tmp)
+
+        if kit == 0:
+            dely2 = solve2(h2)
+        else:
+            dely2, cg_cor = pcg(matvec, h2, precond, tol_cg, opts.cg_maxiter)
+
+        # ---- corrector directions + final update
+        dirs2 = tuple(
+            _group_dirs(g, nt, Rd, X, dely2, predict=False, sig_mu=sig_mu, RNT=RNT)
+            for g, nt, Rd, X, RNT in zip(problem.groups, nts, Rds, st.X, RNTs)
+        )
+        if nlin:
+            ld2 = _lin_dirs(
+                problem, st, Si_lin, Rd_lin, dely2,
+                predict=False, sig_mu=sig_mu, RNT_lin=RNT_lin,
+            )
+            alpha_lin2, beta_lin2 = ld2.alpha, ld2.beta
+        else:
+            alpha_lin2 = beta_lin2 = one
+        amin = alpha_lin2
+        bmin = beta_lin2
+        for d in dirs2:
+            amin = jnp.minimum(amin, jnp.min(d.alpha))
+            bmin = jnp.minimum(bmin, jnp.min(d.beta))
+
+        y_new = st.y + bmin * dely2
+        X_new = tuple(sym(X + amin * d.delX) for X, d in zip(st.X, dirs2))
+        S_new = tuple(sym(S + bmin * d.delS) for S, d in zip(st.S, dirs2))
+        if nlin:
+            X_lin_new = st.X_lin + amin * ld2.delX
+            S_lin_new = st.S_lin + bmin * ld2.delS
+        else:
+            X_lin_new = S_lin_new = None
+
+        # ---- DIMACS errors (`check_convergence`, src/Solvers.jl:496-524)
+        normb = jnp.linalg.norm(problem.b)
+        by = jnp.dot(problem.b, y_new)
+        err1 = jnp.linalg.norm(Rp) / (1.0 + normb)
+        err2 = jnp.zeros((), dtype=dtype)
+        err3 = jnp.zeros((), dtype=dtype)
+        err4 = jnp.zeros((), dtype=dtype)
+        err6 = jnp.zeros((), dtype=dtype)
+        trCX = jnp.zeros((), dtype=dtype)
+        for g, X, S, Rd in zip(problem.groups, X_new, S_new, Rds):
+            normC = jnp.sqrt(jnp.sum(g.C**2, axis=(-1, -2)))  # [nb]
+            err2 = err2 + jnp.sum(jnp.maximum(0.0, -eigmin(X)) / (1.0 + normb))
+            err3 = err3 + jnp.sum(
+                jnp.sqrt(jnp.sum(Rd**2, axis=(-1, -2))) / (1.0 + normC)
+            )
+            err4 = err4 + jnp.sum(jnp.maximum(0.0, -eigmin(S)) / (1.0 + normC))
+            CX = jnp.einsum("bpq,bpq->b", g.C, X)
+            trCX = trCX + jnp.sum(CX)
+            SX = jnp.einsum("bpq,bpq->b", S, X)
+            err6 = err6 + jnp.sum(SX / (1.0 + jnp.abs(CX) + jnp.abs(by)))
+        if nlin:
+            dX = jnp.dot(problem.d_lin, X_lin_new)
+            normd = jnp.linalg.norm(problem.d_lin)
+            err2 = err2 + jnp.maximum(0.0, -jnp.min(X_lin_new)) / (1.0 + normb)
+            err3 = err3 + jnp.linalg.norm(Rd_lin) / (1.0 + normd)
+            err4 = err4 + jnp.maximum(0.0, -jnp.min(S_lin_new)) / (1.0 + normd)
+            err5 = (trCX + dX - by) / (1.0 + jnp.abs(trCX) + jnp.abs(by))
+            err6 = err6 + jnp.dot(S_lin_new, X_lin_new) / (1.0 + jnp.abs(dX) + jnp.abs(by))
+        else:
+            err5 = (trCX - by) / (1.0 + jnp.abs(trCX) + jnp.abs(by))
+
+        dimacs = err2 + err3 + err4 + jnp.abs(err5) + err6
+        if nlmi > 0:
+            dimacs = dimacs + err1
+
+        new_state = IPMState(
+            X=X_new, S=S_new, y=y_new, X_lin=X_lin_new, S_lin=S_lin_new, sigma=sigma
+        )
+        stats = StepStats(
+            obj=-by + problem.b_const,
+            mu=mu,
+            sigma=sigma,
+            err1=err1,
+            err2=err2,
+            err3=err3,
+            err4=err4,
+            err5=err5,
+            err6=err6,
+            dimacs=dimacs,
+            alpha_min=amin,
+            beta_min=bmin,
+            h_shifts=h_shifts,
+            h_ok=h_ok,
+            nt_ok=nt_ok,
+            cg_iter_pre=cg_pre,
+            cg_iter_cor=cg_cor,
+        )
+        return new_state, stats
+
+    return step
+
+
+def _bdiag(d: jax.Array) -> jax.Array:
+    """[nb, m] -> [nb, m, m] batched diagonal embed."""
+    return jax.vmap(jnp.diag)(d)
+
+
+_STEP_CACHE = {}
+
+
+def jitted_step(opts: Options, precond_kind: int):
+    """Jitted step, cached on the option values so repeated solves (and
+    repeated Solver instances) reuse traces and XLA executables. TPU
+    compiles run minutes through the tunnel; without this every solve
+    would pay them again."""
+    key = (tuple(sorted(vars(opts).items())), precond_kind)
+    fn = _STEP_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(build_step(opts, precond_kind))
+        _STEP_CACHE[key] = fn
+    return fn

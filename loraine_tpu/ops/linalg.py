@@ -1,0 +1,94 @@
+"""Small batched linear-algebra building blocks.
+
+All ops are jit-safe (static shapes, bounded control flow) and batched over a
+leading block axis where relevant. Regularized Cholesky reproduces the
+reference's retry loops (`src/prepare_W.jl:5-26` for X/S with 1e-5 shifts;
+`src/predictor_corrector.jl:55-97` for the Schur matrix with 1e-4 shifts) as
+bounded ``lax.while_loop``s keyed on NaN detection — on TPU a failed Cholesky
+yields NaNs rather than raising, which is exactly the signal we need.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "sym",
+    "chol_reg",
+    "cho_solve",
+    "tri_solve",
+    "eigmin",
+    "btrace",
+]
+
+
+def sym(M: jax.Array) -> jax.Array:
+    """Symmetrize on the last two axes (the reference's `mat`,
+    `src/kron_etc.jl:13-18`)."""
+    return (M + jnp.swapaxes(M, -1, -2)) / 2
+
+
+class CholResult(NamedTuple):
+    L: jax.Array  # lower factor(s), NaN-free iff ok
+    shifts: jax.Array  # int32, number of eps*I shifts applied (per batch elem)
+    ok: jax.Array  # bool scalar: all factorizations succeeded
+
+
+def chol_reg(M: jax.Array, eps: float, max_tries: int = 1000) -> CholResult:
+    """Cholesky with bounded diagonal-shift regularization.
+
+    Failing batch elements get ``eps * I`` added repeatedly (up to
+    ``max_tries``) until positive definite. Matches the reference semantics
+    of `try_cholesky` / the Schur regularization loop, vectorized over the
+    batch so only failing blocks are shifted.
+    """
+    m = M.shape[-1]
+    eye = jnp.eye(m, dtype=M.dtype)
+
+    def attempt(Mc):
+        L = jnp.linalg.cholesky(Mc)
+        bad = jnp.isnan(L).any(axis=(-1, -2))
+        return L, bad
+
+    L0, bad0 = attempt(M)
+
+    def cond(carry):
+        _, _, bad, i = carry
+        return jnp.logical_and(bad.any(), i < max_tries)
+
+    def body(carry):
+        Mc, L, bad, i = carry
+        Mc = Mc + eps * eye * bad[..., None, None].astype(M.dtype)
+        L, bad = attempt(Mc)
+        return Mc, L, bad, i + 1
+
+    _, L, bad, shifts = lax.while_loop(cond, body, (M, L0, bad0, jnp.int32(0)))
+    return CholResult(L=L, shifts=shifts, ok=jnp.logical_not(bad.any()))
+
+
+def tri_solve(L: jax.Array, B: jax.Array, *, trans: bool = False) -> jax.Array:
+    """Solve L X = B (or L^T X = B) with lower-triangular L; batched."""
+    return jax.scipy.linalg.solve_triangular(L, B, lower=True, trans=1 if trans else 0)
+
+
+def cho_solve(L: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve (L L^T) x = b given the lower Cholesky factor; batched."""
+    vec = b.ndim == L.ndim - 1
+    if vec:
+        b = b[..., None]
+    x = tri_solve(L, b)
+    x = tri_solve(L, x, trans=True)
+    return x[..., 0] if vec else x
+
+
+def eigmin(M: jax.Array) -> jax.Array:
+    """Smallest eigenvalue(s) of symmetric M; batched over leading axes."""
+    return jnp.linalg.eigvalsh(M)[..., 0]
+
+
+def btrace(X, S) -> jax.Array:
+    """sum_b <X_b, S_b> over the leading batch axis (`src/kron_etc.jl:21-28`)."""
+    return jnp.sum(X * S)

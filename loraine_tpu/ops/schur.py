@@ -1,0 +1,86 @@
+"""Schur-complement assembly and data-operator contractions, batched.
+
+The Schur ("Hessian") matrix of the IPM normal equations is
+
+    H[j,k] = sum_i  < A_j^{(i)},  W_i A_k^{(i)} W_i >
+             + (C_lin diag(x_lin / s_lin) C_lin^T)[j,k]
+
+The reference assembles this with a three-regime sparse loop
+(`src/makeBBBB.jl:24-218`); on TPU we use two batched GEMM contractions per
+block group (dense data) or the rank-one compression
+
+    H = sum_blocks ((B G)(B G)^T) ** 2        (elementwise square)
+
+matching `makeBBBB_rank1` (`src/makeBBBB.jl:1-20`, O(n m^2 + n^2 m) per
+block instead of O(n m^3 + n^2 m^2)).
+
+Also provides the primal/adjoint data operators
+
+    Aop(group, X)  = [ sum_b <A_j^{(b)}, X_b> ]_j          ([n])
+    Aadj(group, y) = sum_j y_j A_j^{(b)}                    ([nb, m, m])
+
+used for residuals, the matrix-free CG operator (`MyA`,
+`src/Solvers.jl:572-614`), and right-hand sides (`makeRHS`,
+`src/makeBBBB.jl:221-228`).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..problem import BlockGroup
+
+__all__ = [
+    "Aop",
+    "Aadj",
+    "schur_group",
+    "schur_lp",
+    "lp_weight",
+]
+
+
+def Aop(group: BlockGroup, X: jax.Array) -> jax.Array:
+    """[n] <- sum over the group's blocks of <A_j, X_b>."""
+    if group.is_rank1:
+        BX = jnp.einsum("bjm,bmp->bjp", group.B, X)
+        vals = jnp.einsum("bjp,bjp->bj", BX, group.B)
+        return jnp.sum(group.Bsgn * vals, axis=0)
+    return jnp.einsum("bjpq,bpq->j", group.A, X)
+
+
+def Aadj(group: BlockGroup, y: jax.Array) -> jax.Array:
+    """[nb, m, m] <- sum_j y_j A_j per block."""
+    if group.is_rank1:
+        w = group.Bsgn * y[None, :]
+        return jnp.einsum("bj,bjm,bjp->bmp", w, group.B, group.B)
+    return jnp.einsum("j,bjpq->bpq", y, group.A)
+
+
+def schur_group(group: BlockGroup, W: jax.Array, G: jax.Array) -> jax.Array:
+    """[n, n] <- this group's contribution to H.
+
+    Dense:   two batched GEMMs (T = W A W) + one [n,n] contraction.
+    Rank-1:  with A_j = sgn_j b_j b_j^T,
+             H[j,k] = sum_b sgn_j sgn_k (b_j^T W b_k)^2
+                    = sum_b sgn sgn' o ((B G)(B G)^T)**2
+             (`src/makeBBBB.jl:1-20`; the reference's factors are always
+             sign-positive so its formula has no sign term).
+    """
+    if group.is_rank1:
+        BG = jnp.einsum("bjm,bmp->bjp", group.B, G)
+        P = jnp.einsum("bjp,bkp->bjk", BG, BG)
+        return jnp.einsum("bj,bk,bjk,bjk->jk", group.Bsgn, group.Bsgn, P, P)
+    T = jnp.einsum("bpa,bjaq->bjpq", W, group.A)
+    T = jnp.einsum("bjpq,bqr->bjpr", T, W)
+    return jnp.einsum("bjpq,bkpq->jk", group.A, T)
+
+
+def lp_weight(X_lin: jax.Array, S_lin_inv: jax.Array) -> jax.Array:
+    return X_lin * S_lin_inv
+
+
+def schur_lp(C_lin: jax.Array, w: jax.Array) -> jax.Array:
+    """[n, n] <- C_lin diag(w) C_lin^T."""
+    return (C_lin * w[None, :]) @ C_lin.T

@@ -1,0 +1,111 @@
+"""Multi-device distribution: mesh + sharding annotations.
+
+The reference is single-process with no distributed backend (SURVEY section 2
+rows 19-21); this module is the greenfield TPU-native equivalent. Strategy
+(scaling-book recipe): pick a mesh, annotate shardings on the data, jit the
+unchanged step, and let XLA insert the collectives:
+
+- axis ``blocks``: shards stacked LMI blocks ``[nb, ...]`` — per-block NT
+  scaling/eigh/chol run fully parallel; per-block Schur contributions are
+  psum-reduced by XLA when the ``jk``-output einsum contracts the sharded
+  ``b`` axis.
+- axis ``schur``: shards the constraint axis ``n`` of the data operator —
+  the T = W A W stage of Schur assembly is row-parallel; H rows materialize
+  sharded and are all-gathered for the (replicated) Cholesky.
+
+Small state (y, H factors) is replicated; X/S/W shard with their blocks.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..problem import SDPProblem
+from ..ipm.state import IPMState
+
+__all__ = ["make_mesh", "auto_mesh", "shard_problem", "shard_state"]
+
+
+def make_mesh(shape: Sequence[int], devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Create a ('blocks', 'schur') mesh of the given shape."""
+    devices = list(devices if devices is not None else jax.devices())
+    nb, ns = shape
+    if nb * ns != len(devices):
+        raise ValueError(f"mesh shape {shape} needs {nb * ns} devices, have {len(devices)}")
+    return Mesh(np.array(devices).reshape(nb, ns), ("blocks", "schur"))
+
+
+def auto_mesh(problem: SDPProblem, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Heuristic mesh: give the blocks axis as many devices as there are
+    blocks to go around; the rest shard the constraint (schur) axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    ndev = len(devices)
+    max_nb = max((g.nb for g in problem.groups), default=1)
+    blocks = 1
+    for cand in range(min(ndev, max_nb), 0, -1):
+        if ndev % cand == 0 and max_nb % cand == 0:
+            blocks = cand
+            break
+    return make_mesh((blocks, ndev // blocks), devices)
+
+
+def _put(x, mesh: Mesh, spec: P):
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def shard_problem(problem: SDPProblem, mesh: Mesh) -> SDPProblem:
+    """Place problem data on the mesh. Data is static per solve, so this is a
+    one-time layout: A/B shard over (blocks, schur); C and NT-sized arrays
+    over blocks; b and the LP data replicate."""
+    groups = []
+    for g in problem.groups:
+        bspec = P("blocks") if g.nb % mesh.shape["blocks"] == 0 else P()
+        baxis = bspec == P("blocks")
+        groups.append(
+            type(g)(
+                C=_put(g.C, mesh, P("blocks") if baxis else P()),
+                A=None if g.A is None else _put(
+                    g.A, mesh, P("blocks" if baxis else None, "schur", None, None)
+                ),
+                B=None if g.B is None else _put(
+                    g.B, mesh, P("blocks" if baxis else None, "schur", None)
+                ),
+                Bsgn=None if g.Bsgn is None else _put(
+                    g.Bsgn, mesh, P("blocks" if baxis else None, "schur")
+                ),
+                m=g.m,
+                nb=g.nb,
+                orig_sizes=g.orig_sizes,
+                orig_indices=g.orig_indices,
+            )
+        )
+    return type(problem)(
+        groups=tuple(groups),
+        b=_put(problem.b, mesh, P()),
+        C_lin=None if problem.C_lin is None else _put(problem.C_lin, mesh, P()),
+        d_lin=None if problem.d_lin is None else _put(problem.d_lin, mesh, P()),
+        n=problem.n,
+        nlin=problem.nlin,
+        nlmi=problem.nlmi,
+        b_const=problem.b_const,
+        sum_msizes=problem.sum_msizes,
+    )
+
+
+def shard_state(state: IPMState, problem: SDPProblem, mesh: Mesh) -> IPMState:
+    Xs, Ss = [], []
+    for g, X, S in zip(problem.groups, state.X, state.S):
+        spec = P("blocks") if g.nb % mesh.shape["blocks"] == 0 else P()
+        Xs.append(_put(X, mesh, spec))
+        Ss.append(_put(S, mesh, spec))
+    return IPMState(
+        X=tuple(Xs),
+        S=tuple(Ss),
+        y=_put(state.y, mesh, P()),
+        X_lin=None if state.X_lin is None else _put(state.X_lin, mesh, P()),
+        S_lin=None if state.S_lin is None else _put(state.S_lin, mesh, P()),
+        sigma=_put(state.sigma, mesh, P()),
+    )

@@ -1,0 +1,418 @@
+"""Problem representation: dense, batched, TPU-first.
+
+The solved problem (same convention as the reference `src/model.jl:8-49`)::
+
+    max  b^T y - b_const
+    s.t. sum_j y_j A_j^{(i)}  <=  C^{(i)}     (PSD order, i = 1..nlmi)
+         C_lin^T y            <=  d_lin       (elementwise)
+
+Design departure from the reference (which keeps per-block Julia vectors of
+sparse matrices): LMI blocks are *bucketed by padded size* and stacked into
+dense arrays ``A: [nb, n, m, m]`` so that every per-block kernel (NT scaling,
+Schur assembly, step finding) is a single batched XLA op over the ``nb`` axis,
+and multi-device sharding is a NamedSharding over that axis.
+
+Padding is made semantically exact: a block of size m0 padded to m is the same
+SDP with the constraint extended by a trailing ``0 <= I`` identity tail
+(A padded with zeros, C with an identity tail). The padded problem's central
+path drives the tail primal block to zero, so no masking is needed anywhere in
+the solver; the objective and DIMACS errors converge to the original ones.
+
+Rank-one data (reference ``datarank = -1``, `src/model.jl:176-197`): each
+A_j = sgn_j * b_j b_j^T is stored as factors ``B: [nb, n, m]`` and signs;
+dense A is never materialized (factorization runs straight off the sparse
+triplets), and every contraction involving A becomes a GEMM
+(`docs/src/low-rank_data.md:1-13` semantics, O(k n m^2) Schur assembly).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+import warnings
+from functools import partial
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .io.sdpa import SDPAData, read_sdpa
+
+__all__ = [
+    "BlockGroup",
+    "SDPProblem",
+    "problem_from_dense",
+    "problem_from_sdpa",
+    "problem_from_dict",
+    "RANK1_TOL",
+]
+
+# Reference rank-1 conversion guard: `src/model.jl:189-191`.
+RANK1_TOL = 5.0e-6
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["C", "A", "B", "Bsgn"],
+    meta_fields=["m", "nb", "orig_sizes", "orig_indices"],
+)
+@dataclasses.dataclass
+class BlockGroup:
+    """A bucket of equally-(padded-)sized LMI blocks, stacked on axis 0.
+
+    Either ``A`` (dense) or ``B``/``Bsgn`` (rank-one factors) is present.
+    ``orig_indices[b]`` is the position of stacked block b in the user's
+    original block ordering (bucketing permutes blocks).
+    """
+
+    C: jax.Array  # [nb, m, m]
+    A: Optional[jax.Array]  # [nb, n, m, m] dense symmetric data, or None
+    B: Optional[jax.Array]  # [nb, n, m] rank-1 factors, or None
+    Bsgn: Optional[jax.Array]  # [nb, n] signs (+/-1, 0 for zero A_j), or None
+    m: int
+    nb: int
+    orig_sizes: Tuple[int, ...]
+    orig_indices: Tuple[int, ...]
+
+    @property
+    def is_rank1(self) -> bool:
+        return self.B is not None
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["groups", "b", "C_lin", "d_lin"],
+    meta_fields=["n", "nlin", "nlmi", "b_const", "sum_msizes"],
+)
+@dataclasses.dataclass
+class SDPProblem:
+    groups: Tuple[BlockGroup, ...]
+    b: jax.Array  # [n]
+    C_lin: Optional[jax.Array]  # [n, nlin] or None
+    d_lin: Optional[jax.Array]  # [nlin] or None
+    n: int
+    nlin: int
+    nlmi: int  # number of LMI blocks (sum of group nb)
+    b_const: float
+    sum_msizes: int  # sum of padded block sizes (mu normalization)
+
+    def objective_dual(self, y) -> jax.Array:
+        """The reported objective: -b^T y + b_const (reference
+        `src/Solvers.jl:530`, `src/MOI_wrapper.jl:315-319`)."""
+        return -jnp.dot(self.b, y) + self.b_const
+
+
+# ---------------------------------------------------------------------------
+# Host-side block payloads (numpy)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class _BlockData:
+    """One LMI block on the host: dense C plus either dense A or COO A."""
+
+    C: np.ndarray  # [m0, m0]
+    A_dense: Optional[np.ndarray] = None  # [n, m0, m0]
+    # COO of all A_j: mat index j (0-based), upper-triangle rows/cols, values
+    A_coo: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = None
+
+    @property
+    def m0(self) -> int:
+        return int(self.C.shape[-1])
+
+    def densify(self, n: int) -> np.ndarray:
+        if self.A_dense is not None:
+            return self.A_dense
+        j, r, c, v = self.A_coo
+        A = np.zeros((n, self.m0, self.m0))
+        np.add.at(A, (j, r, c), v)
+        off = r != c
+        np.add.at(A, (j[off], c[off], r[off]), v[off])
+        return A
+
+
+def _round_up(x: int, mult: int) -> int:
+    return ((x + mult - 1) // mult) * mult
+
+
+def _rank1_factor_sub(sub: np.ndarray) -> Tuple[np.ndarray, float, float]:
+    """Factor a (small dense) symmetric matrix as sgn * b b^T via its dominant
+    eigenpair. Returns (b, sgn, frobenius residual)."""
+    sub = (sub + sub.T) / 2.0
+    w, V = np.linalg.eigh(sub)
+    k = int(np.argmax(np.abs(w)))
+    lam, v = w[k], V[:, k]
+    sgn = 1.0 if lam >= 0 else -1.0
+    b = math.sqrt(abs(lam)) * v
+    err = float(np.linalg.norm(sub - sgn * np.outer(b, b)))
+    return b, sgn, err
+
+
+def _rank1_factor_block(blk: _BlockData, n: int) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Factor every A_j of one block as sgn_j b_j b_j^T.
+
+    Returns (B [n, m0], sgn [n]) or None if any factorization exceeds
+    RANK1_TOL (caller falls back to dense, reference `src/Solvers.jl:435-444`).
+    """
+    m0 = blk.m0
+    B = np.zeros((n, m0))
+    sgn = np.zeros(n)
+
+    def factor_one(j: int, sub: np.ndarray, nz: np.ndarray) -> bool:
+        if nz.size == 0:
+            return True
+        b, s, err = _rank1_factor_sub(sub)
+        if err > RANK1_TOL:
+            warnings.warn(
+                f"rank-1 conversion error {err:.2e} > {RANK1_TOL:g} for matrix {j};"
+                " falling back to datarank = 0"
+            )
+            return False
+        B[j, nz], sgn[j] = b, s
+        return True
+
+    if blk.A_coo is not None:
+        jj, rr, cc, vv = blk.A_coo
+        order = np.argsort(jj, kind="stable")
+        jj, rr, cc, vv = jj[order], rr[order], cc[order], vv[order]
+        bounds = np.searchsorted(jj, np.arange(n + 1))
+        for j in range(n):
+            lo, hi = bounds[j], bounds[j + 1]
+            if lo == hi:
+                continue
+            r, c, v = rr[lo:hi], cc[lo:hi], vv[lo:hi]
+            nz = np.unique(np.concatenate([r, c]))
+            pos = {int(i): k for k, i in enumerate(nz)}
+            sub = np.zeros((nz.size, nz.size))
+            for a, bcol, val in zip(r, c, v):
+                ia, ib = pos[int(a)], pos[int(bcol)]
+                sub[ia, ib] += val
+                if ia != ib:
+                    sub[ib, ia] += val
+            if not factor_one(j, sub, nz):
+                return None
+    else:
+        for j in range(n):
+            M = np.asarray(blk.A_dense[j])
+            nz = np.flatnonzero(np.abs(M).sum(axis=1))
+            if nz.size == 0:
+                continue
+            if not factor_one(j, M[np.ix_(nz, nz)], nz):
+                return None
+    if not np.any(B):
+        warnings.warn("rank-1 factors all zero; falling back to datarank = 0")
+        return None
+    return B, sgn
+
+
+# ---------------------------------------------------------------------------
+# Assembly
+# ---------------------------------------------------------------------------
+
+
+def _build_problem(
+    blocks: List[_BlockData],
+    b: np.ndarray,
+    C_lin: Optional[np.ndarray],
+    d_lin: Optional[np.ndarray],
+    b_const: float,
+    datarank: int,
+    pad_multiple: int,
+    dtype,
+) -> SDPProblem:
+    n = int(np.asarray(b).shape[0])
+    nlmi = len(blocks)
+
+    use_rank1 = datarank == -1
+    factors: List[Optional[Tuple[np.ndarray, np.ndarray]]] = [None] * nlmi
+    if use_rank1:
+        for i, blk in enumerate(blocks):
+            f = _rank1_factor_block(blk, n)
+            if f is None:
+                use_rank1 = False
+                break
+            factors[i] = f
+
+    buckets = {}
+    for i, blk in enumerate(blocks):
+        m_pad = _round_up(blk.m0, pad_multiple)
+        buckets.setdefault(m_pad, []).append(i)
+
+    groups = []
+    for m_pad in sorted(buckets):
+        idxs = buckets[m_pad]
+        Cstack, Astack, Bstack, Sgnstack, sizes = [], [], [], [], []
+        for i in idxs:
+            blk = blocks[i]
+            m0 = blk.m0
+            sizes.append(m0)
+            Cp = np.zeros((m_pad, m_pad))
+            Cp[:m0, :m0] = blk.C
+            Cp[range(m0, m_pad), range(m0, m_pad)] = 1.0  # identity tail
+            Cstack.append(Cp)
+            if use_rank1:
+                B, sgn = factors[i]
+                Bp = np.zeros((n, m_pad))
+                Bp[:, :m0] = B
+                Bstack.append(Bp)
+                Sgnstack.append(sgn)
+            else:
+                A = blk.densify(n)
+                Ap = np.zeros((n, m_pad, m_pad))
+                Ap[:, :m0, :m0] = A
+                Astack.append(Ap)
+        groups.append(
+            BlockGroup(
+                C=jnp.asarray(np.stack(Cstack), dtype=dtype),
+                A=None if use_rank1 else jnp.asarray(np.stack(Astack), dtype=dtype),
+                B=jnp.asarray(np.stack(Bstack), dtype=dtype) if use_rank1 else None,
+                Bsgn=jnp.asarray(np.stack(Sgnstack), dtype=dtype) if use_rank1 else None,
+                m=m_pad,
+                nb=len(idxs),
+                orig_sizes=tuple(sizes),
+                orig_indices=tuple(idxs),
+            )
+        )
+
+    nlin = 0 if C_lin is None else int(np.asarray(C_lin).shape[1])
+    return SDPProblem(
+        groups=tuple(groups),
+        b=jnp.asarray(b, dtype=dtype),
+        C_lin=None if nlin == 0 else jnp.asarray(C_lin, dtype=dtype),
+        d_lin=None if nlin == 0 else jnp.asarray(d_lin, dtype=dtype),
+        n=n,
+        nlin=nlin,
+        nlmi=nlmi,
+        b_const=float(b_const),
+        sum_msizes=sum(g.m * g.nb for g in groups),
+    )
+
+
+def problem_from_dense(
+    As: Sequence[np.ndarray],
+    Cs: Sequence[np.ndarray],
+    b: np.ndarray,
+    C_lin: Optional[np.ndarray] = None,
+    d_lin: Optional[np.ndarray] = None,
+    b_const: float = 0.0,
+    datarank: int = 0,
+    pad_multiple: int = 8,
+    dtype=jnp.float64,
+) -> SDPProblem:
+    """Build an SDPProblem from per-block dense numpy data.
+
+    Args:
+      As: per LMI block, array [n, m_i, m_i] of data matrices A_j.
+      Cs: per LMI block, array [m_i, m_i].
+      b: objective vector [n] (maximize b^T y).
+      C_lin: optional [n, nlin]; d_lin: optional [nlin].
+      datarank: -1 attempts the rank-one compression (5e-6 guard with dense
+        fallback).
+    """
+    blocks = [
+        _BlockData(C=np.asarray(C, dtype=np.float64), A_dense=np.asarray(A, dtype=np.float64))
+        for A, C in zip(As, Cs)
+    ]
+    return _build_problem(
+        blocks, np.asarray(b, dtype=np.float64), C_lin, d_lin, b_const, datarank, pad_multiple, dtype
+    )
+
+
+def problem_from_sdpa(
+    source: Union[str, SDPAData],
+    datarank: int = 0,
+    pad_multiple: int = 8,
+    dtype=jnp.float64,
+    max_dense_gb: float = 8.0,
+) -> SDPProblem:
+    """Convert SDPA data (min c^T x s.t. sum x_j F_j - F_0 >= 0) to the
+    internal dual form: y = x, b = -c, A_j = -F_j, C = -F_0; diagonal blocks
+    map to the LP cone with C_lin[j, l] = -diag(F_j)_l, d_lin = -diag(F_0).
+
+    The reported objective ``-b^T y`` then equals SDPA's optimal ``c^T x``.
+    """
+    data = read_sdpa(source) if isinstance(source, str) else source
+    n = data.nvar
+
+    blocks: List[_BlockData] = []
+    lp_cols: List[np.ndarray] = []
+    lp_d: List[np.ndarray] = []
+    dense_bytes = 0
+    for bs, (mat, row, col, val) in zip(data.block_sizes, data.blocks):
+        if bs < 0:
+            k = -bs
+            Cl = np.zeros((n, k))
+            dl = np.zeros(k)
+            diag = row  # diagonal blocks: row == col
+            f0 = mat == 0
+            np.add.at(dl, diag[f0], -val[f0])
+            np.add.at(Cl, (mat[~f0] - 1, diag[~f0]), -val[~f0])
+            lp_cols.append(Cl)
+            lp_d.append(dl)
+        else:
+            m0 = bs
+            dense_bytes += (n + 1) * m0 * m0 * 8
+            C = np.zeros((m0, m0))
+            f0 = mat == 0
+            np.add.at(C, (row[f0], col[f0]), -val[f0])
+            offd = f0 & (row != col)
+            np.add.at(C, (col[offd], row[offd]), -val[offd])
+            fj = ~f0
+            blocks.append(
+                _BlockData(C=C, A_coo=(mat[fj] - 1, row[fj], col[fj], -val[fj]))
+            )
+
+    if datarank != -1 and dense_bytes > max_dense_gb * 1e9:
+        raise MemoryError(
+            f"dense data would need {dense_bytes / 1e9:.1f} GB; "
+            "use datarank=-1 (rank-one data) for this problem"
+        )
+
+    C_lin = np.concatenate(lp_cols, axis=1) if lp_cols else None
+    d_lin = np.concatenate(lp_d) if lp_d else None
+    return _build_problem(
+        blocks,
+        b=-data.c,
+        C_lin=C_lin,
+        d_lin=d_lin,
+        b_const=0.0,
+        datarank=datarank,
+        pad_multiple=pad_multiple,
+        dtype=dtype,
+    )
+
+
+def problem_from_dict(
+    d: dict, datarank: int = 0, pad_multiple: int = 8, dtype=jnp.float64
+) -> SDPProblem:
+    """Raw-dict entry point (working replacement for the reference's broken
+    `loraine(d, options)` path, `src/Loraine.jl:30-93` / `src/model.jl:
+    90-118`). Keys (reference convention, negated internally like
+    `prepare_model_data`):
+
+      nvar, nlmi, msizes, A (list over blocks of [n, m, m] with the
+      *constraint* sign, i.e. internal A_j = -A[i][j]), C (list of [m, m],
+      internal C_i = -C[i])  — or pre-negated 'As'/'Cs' in internal
+      convention; c (objective, b = -c), b_const; optional nlin, d, C_lin.
+    """
+    n = int(d.get("nvar", len(np.atleast_1d(d.get("c")))))
+    if "As" in d:
+        As = [np.asarray(a) for a in d["As"]]
+        Cs = [np.asarray(c) for c in d["Cs"]]
+        b = np.asarray(d["b"], dtype=np.float64)
+    else:
+        As = [-np.asarray(a) for a in d["A"]]
+        Cs = [-np.asarray(c) for c in d["C"]]
+        b = -np.asarray(d["c"], dtype=np.float64)
+    b_const = -float(d.get("b_const", 0.0))
+    nlin = int(d.get("nlin", 0))
+    C_lin = d_lin = None
+    if nlin > 0:
+        C_lin = -np.asarray(d["C_lin"]) if "C_lin" in d else None
+        d_lin = -np.asarray(d["d"]).reshape(-1)
+    blocks = [_BlockData(C=C, A_dense=A) for A, C in zip(As, Cs)]
+    if b.shape[0] != n:
+        raise ValueError(f"nvar={n} inconsistent with objective length {b.shape[0]}")
+    return _build_problem(
+        blocks, b, C_lin, d_lin, b_const, datarank, pad_multiple, dtype
+    )

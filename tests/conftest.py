@@ -1,0 +1,27 @@
+"""Test configuration: run the suite on a virtual 8-device CPU mesh so
+sharding tests work without a pod, deterministically and fast."""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# A pytest plugin imports jax before this conftest runs, so the JAX_PLATFORMS
+# env var is captured too late; the config update below still wins as long as
+# no backend has been initialized yet.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
+assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"
+
+import pathlib
+
+import pytest
+
+DATA_DIR = pathlib.Path(__file__).parent / "data"
+
+
+@pytest.fixture
+def data_dir() -> pathlib.Path:
+    return DATA_DIR

@@ -1,0 +1,64 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh
+(SURVEY section 4: distributed tests without a pod)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import loraine_tpu as lt
+from loraine_tpu.ipm.initial import initial_point
+from loraine_tpu.ipm.step import build_step
+from loraine_tpu.parallel.mesh import auto_mesh, make_mesh, shard_problem, shard_state
+
+
+def _multiblock_problem():
+    rng = np.random.default_rng(0)
+    nb, n, m, nlin = 4, 16, 8, 4
+    As, Cs = [], []
+    for _ in range(nb):
+        A = rng.standard_normal((n, m, m))
+        As.append((A + A.transpose(0, 2, 1)) / 2)
+        C = rng.standard_normal((m, m))
+        Cs.append(C @ C.T + m * np.eye(m))
+    b = rng.standard_normal(n)
+    C_lin = rng.standard_normal((n, nlin))
+    d_lin = np.abs(rng.standard_normal(nlin)) + 1.0
+    return lt.problem_from_dense(As, Cs, b, C_lin=C_lin, d_lin=d_lin)
+
+
+def test_sharded_step_matches_single_device():
+    problem = _multiblock_problem()
+    opts = lt.Options(kit=0, verb=0).validated()
+    state = initial_point(problem, opts)
+    step = jax.jit(build_step(opts, -1))
+    tol = jnp.asarray(1e-2, dtype=problem.b.dtype)
+
+    ref_state, ref_stats = step(problem, state, tol)
+
+    mesh = make_mesh((2, 4))
+    sp = shard_problem(problem, mesh)
+    ss = shard_state(state, problem, mesh)
+    out_state, out_stats = step(sp, ss, tol)
+
+    np.testing.assert_allclose(
+        np.asarray(out_state.y), np.asarray(ref_state.y), rtol=1e-9, atol=1e-10
+    )
+    for Xr, Xs in zip(ref_state.X, out_state.X):
+        np.testing.assert_allclose(np.asarray(Xs), np.asarray(Xr), rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(float(out_stats.dimacs), float(ref_stats.dimacs), rtol=1e-8)
+
+
+def test_sharded_full_solve():
+    problem = _multiblock_problem()
+    mesh = auto_mesh(problem)
+    sp = shard_problem(problem, mesh)
+    res = lt.solve(sp, {"kit": 0, "eDIMACS": 1e-7, "verb": 0})
+    res_ref = lt.solve(problem, {"kit": 0, "eDIMACS": 1e-7, "verb": 0})
+    assert res.status == res_ref.status == 1
+    np.testing.assert_allclose(res.objective, res_ref.objective, rtol=1e-8)
+
+
+def test_auto_mesh_shape():
+    problem = _multiblock_problem()
+    mesh = auto_mesh(problem)
+    assert mesh.shape["blocks"] * mesh.shape["schur"] == len(jax.devices())
