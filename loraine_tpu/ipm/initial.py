@@ -30,6 +30,9 @@ def _group_data_fro_norms(g) -> np.ndarray:
         # ||sgn b b^T||_F = ||b||^2
         sq = jnp.sum(g.B**2, axis=-1)  # [nb, n]
         return np.asarray(jnp.sqrt(jnp.sum(sq**2, axis=-1)))
+    if g.is_sparse:
+        # expanded COO lists both triangles, so sum(v^2) is exactly ||.||_F^2
+        return np.asarray(jnp.sqrt(jnp.sum(g.Avals**2, axis=(-1, -2))))
     return np.asarray(jnp.sqrt(jnp.sum(g.A**2, axis=(-1, -2, -3))))
 
 

@@ -79,8 +79,11 @@ def _group_dirs(
     delXb = nt.Gi @ delX @ jnp.swapaxes(nt.Gi, -1, -2)
     scaleX = sym(nt.DDsi[:, :, None] * delXb * nt.DDsi[:, None, :])
     scaleS = sym(nt.DDsi[:, :, None] * delSb * nt.DDsi[:, None, :])
-    alpha = _steplen(eigmin(scaleX))
-    beta = _steplen(eigmin(scaleS))
+    # one batched eigendecomposition for both steplengths (latency win)
+    nb = scaleX.shape[0]
+    ev = eigmin(jnp.concatenate([scaleX, scaleS], axis=0))
+    alpha = _steplen(ev[:nb])
+    beta = _steplen(ev[nb:])
     return _GroupDirs(delX=delX, delS=delS, alpha=alpha, beta=beta)
 
 
@@ -311,11 +314,13 @@ def build_step(opts: Options, precond_kind: int):
         trCX = jnp.zeros((), dtype=dtype)
         for g, X, S, Rd in zip(problem.groups, X_new, S_new, Rds):
             normC = jnp.sqrt(jnp.sum(g.C**2, axis=(-1, -2)))  # [nb]
-            err2 = err2 + jnp.sum(jnp.maximum(0.0, -eigmin(X)) / (1.0 + normb))
+            ev = eigmin(jnp.concatenate([X, S], axis=0))  # one batched eigh
+            evX, evS = ev[: X.shape[0]], ev[X.shape[0] :]
+            err2 = err2 + jnp.sum(jnp.maximum(0.0, -evX) / (1.0 + normb))
             err3 = err3 + jnp.sum(
                 jnp.sqrt(jnp.sum(Rd**2, axis=(-1, -2))) / (1.0 + normC)
             )
-            err4 = err4 + jnp.sum(jnp.maximum(0.0, -eigmin(S)) / (1.0 + normC))
+            err4 = err4 + jnp.sum(jnp.maximum(0.0, -evS) / (1.0 + normC))
             CX = jnp.einsum("bpq,bpq->b", g.C, X)
             trCX = trCX + jnp.sum(CX)
             SX = jnp.einsum("bpq,bpq->b", S, X)

@@ -153,6 +153,11 @@ def prep_alpha(
             ZB = jnp.einsum("bpq,bjp->bjq", Z, g.B)  # Z^T b_j
             UB = jnp.einsum("bpl,bjp->bjl", U, g.B)  # U^T b_j
             t_g = jnp.einsum("bj,bjl,bjq->jblq", g.Bsgn, UB, ZB)
+        elif g.is_sparse:
+            # (Z^T A_j U)[q,l] = sum_t v_t Z[r_t, q] U[c_t, l]
+            Zr = jax.vmap(lambda Zb, idx: Zb[idx])(Z, g.Arows)  # [nb, n, s, m]
+            Uc = jax.vmap(lambda Ub, idx: Ub[idx])(U, g.Acols)  # [nb, n, s, k]
+            t_g = jnp.einsum("bjt,bjtq,bjtl->jblq", g.Avals, Zr, Uc)
         else:
             AU = jnp.einsum("bjpr,brl->bjpl", g.A, U)
             t_g = jnp.einsum("bpq,bjpl->jblq", Z, AU)

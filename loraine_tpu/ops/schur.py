@@ -47,6 +47,10 @@ def Aop(group: BlockGroup, X: jax.Array) -> jax.Array:
         BX = jnp.einsum("bjm,bmp->bjp", group.B, X)
         vals = jnp.einsum("bjp,bjp->bj", BX, group.B)
         return jnp.sum(group.Bsgn * vals, axis=0)
+    if group.is_sparse:
+        # <A_j, X> = sum_t v_t X[r_t, c_t] (COO fully expanded)
+        gathered = jax.vmap(lambda Xb, r, c: Xb[r, c])(X, group.Arows, group.Acols)
+        return jnp.einsum("bjt,bjt->j", group.Avals, gathered)
     return jnp.einsum("bjpq,bpq->j", group.A, X)
 
 
@@ -55,6 +59,12 @@ def Aadj(group: BlockGroup, y: jax.Array) -> jax.Array:
     if group.is_rank1:
         w = group.Bsgn * y[None, :]
         return jnp.einsum("bj,bjm,bjp->bmp", w, group.B, group.B)
+    if group.is_sparse:
+        w = group.Avals * y[None, :, None]  # [nb, n, s]
+        def scatter(r, c, wv):
+            out = jnp.zeros((group.m, group.m), dtype=w.dtype)
+            return out.at[r.reshape(-1), c.reshape(-1)].add(wv.reshape(-1))
+        return jax.vmap(scatter)(group.Arows, group.Acols, w)
     return jnp.einsum("j,bjpq->bpq", y, group.A)
 
 
@@ -67,14 +77,55 @@ def schur_group(group: BlockGroup, W: jax.Array, G: jax.Array) -> jax.Array:
                     = sum_b sgn sgn' o ((B G)(B G)^T)**2
              (`src/makeBBBB.jl:1-20`; the reference's factors are always
              sign-positive so its formula has no sign term).
+    Sparse:  gather-based, see _schur_sparse.
     """
     if group.is_rank1:
         BG = jnp.einsum("bjm,bmp->bjp", group.B, G)
         P = jnp.einsum("bjp,bkp->bjk", BG, BG)
         return jnp.einsum("bj,bk,bjk,bjk->jk", group.Bsgn, group.Bsgn, P, P)
+    if group.is_sparse:
+        return _schur_sparse(group, W)
     T = jnp.einsum("bpa,bjaq->bjpq", W, group.A)
     T = jnp.einsum("bjpq,bqr->bjpr", T, W)
     return jnp.einsum("bjpq,bkpq->jk", group.A, T)
+
+
+def _schur_sparse(group: BlockGroup, W: jax.Array) -> jax.Array:
+    """Sparse-data Schur contribution via batched gathers + rank-s outer
+    products, replacing the reference's scalar sparse loops
+    (`src/makeBBBB.jl:39-218`) with a TPU-shaped pipeline:
+
+        T_j = W A_j W = sum_t v_t W[:, r_t] W[c_t, :]     (rank-s outer sum)
+        H[j, k] = <A_k, T_j> = sum_u v_u T_j[r_u, c_u]    (gather + reduce)
+
+    chunked over j so the gathered [nb, J, n, s] tensor stays bounded.
+    Cost O(n m^2 s + n^2 s) vs dense O(n m^3 + n^2 m^2).
+    """
+    nb, n, s = group.Avals.shape
+    m = group.m
+    # cap the per-chunk gather tensor around ~2^25 elements (256 MB f64)
+    J = int(min(n, max(8, (1 << 25) // max(1, nb * n * s))))
+    nch = -(-n // J)
+    npad = nch * J
+
+    def pad_r(x):
+        return jnp.pad(x, ((0, 0), (0, npad - n), (0, 0)))
+
+    rows_c = pad_r(group.Arows).reshape(nb, nch, J, s).transpose(1, 0, 2, 3)
+    cols_c = pad_r(group.Acols).reshape(nb, nch, J, s).transpose(1, 0, 2, 3)
+    vals_c = pad_r(group.Avals).reshape(nb, nch, J, s).transpose(1, 0, 2, 3)
+    flatk = group.Arows.astype(jnp.int32) * m + group.Acols.astype(jnp.int32)
+
+    def body(chunk):
+        r_c, c_c, v_c = chunk  # each [nb, J, s]
+        Wa = jax.vmap(lambda Wb, idx: Wb[idx])(W, r_c)  # [nb, J, s, m]
+        Wc = jax.vmap(lambda Wb, idx: Wb[idx])(W, c_c)
+        T2 = jnp.einsum("bjtp,bjt,bjtq->bjpq", Wa, v_c, Wc).reshape(nb, J, m * m)
+        G = jax.vmap(lambda t2, fk: t2[:, fk.reshape(-1)])(T2, flatk)
+        return jnp.einsum("bjks,bks->jk", G.reshape(nb, J, n, s), group.Avals)
+
+    Hrows = jax.lax.map(body, (rows_c, cols_c, vals_c))  # [nch, J, n]
+    return Hrows.reshape(npad, n)[:n]
 
 
 def lp_weight(X_lin: jax.Array, S_lin_inv: jax.Array) -> jax.Array:

@@ -64,18 +64,18 @@ def shard_problem(problem: SDPProblem, mesh: Mesh) -> SDPProblem:
     for g in problem.groups:
         bspec = P("blocks") if g.nb % mesh.shape["blocks"] == 0 else P()
         baxis = bspec == P("blocks")
+        baxname = "blocks" if baxis else None
         groups.append(
             type(g)(
                 C=_put(g.C, mesh, P("blocks") if baxis else P()),
                 A=None if g.A is None else _put(
-                    g.A, mesh, P("blocks" if baxis else None, "schur", None, None)
+                    g.A, mesh, P(baxname, "schur", None, None)
                 ),
-                B=None if g.B is None else _put(
-                    g.B, mesh, P("blocks" if baxis else None, "schur", None)
-                ),
-                Bsgn=None if g.Bsgn is None else _put(
-                    g.Bsgn, mesh, P("blocks" if baxis else None, "schur")
-                ),
+                B=None if g.B is None else _put(g.B, mesh, P(baxname, "schur", None)),
+                Bsgn=None if g.Bsgn is None else _put(g.Bsgn, mesh, P(baxname, "schur")),
+                Arows=None if g.Arows is None else _put(g.Arows, mesh, P(baxname, "schur", None)),
+                Acols=None if g.Acols is None else _put(g.Acols, mesh, P(baxname, "schur", None)),
+                Avals=None if g.Avals is None else _put(g.Avals, mesh, P(baxname, "schur", None)),
                 m=g.m,
                 nb=g.nb,
                 orig_sizes=g.orig_sizes,

@@ -53,14 +53,23 @@ RANK1_TOL = 5.0e-6
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["C", "A", "B", "Bsgn"],
+    data_fields=["C", "A", "B", "Bsgn", "Arows", "Acols", "Avals"],
     meta_fields=["m", "nb", "orig_sizes", "orig_indices"],
 )
 @dataclasses.dataclass
 class BlockGroup:
     """A bucket of equally-(padded-)sized LMI blocks, stacked on axis 0.
 
-    Either ``A`` (dense) or ``B``/``Bsgn`` (rank-one factors) is present.
+    Exactly one data representation is present:
+      dense:  ``A [nb, n, m, m]``
+      rank-1: ``B [nb, n, m]`` + ``Bsgn [nb, n]`` (A_j = sgn_j b_j b_j^T)
+      sparse: ``Arows/Acols [nb, n, s]`` int32 + ``Avals [nb, n, s]`` —
+              *fully expanded* COO (both triangles listed) padded to the
+              group's max entry count s; pad entries are (0, 0, 0.0).
+              TPU-native replacement for the reference's three-regime
+              sparse loops (`src/makeBBBB.jl:67-218`): contractions become
+              batched gathers + small GEMMs (see ops/schur.py).
+
     ``orig_indices[b]`` is the position of stacked block b in the user's
     original block ordering (bucketing permutes blocks).
     """
@@ -69,6 +78,9 @@ class BlockGroup:
     A: Optional[jax.Array]  # [nb, n, m, m] dense symmetric data, or None
     B: Optional[jax.Array]  # [nb, n, m] rank-1 factors, or None
     Bsgn: Optional[jax.Array]  # [nb, n] signs (+/-1, 0 for zero A_j), or None
+    Arows: Optional[jax.Array]  # [nb, n, s] int32, or None
+    Acols: Optional[jax.Array]  # [nb, n, s] int32, or None
+    Avals: Optional[jax.Array]  # [nb, n, s], or None
     m: int
     nb: int
     orig_sizes: Tuple[int, ...]
@@ -77,6 +89,10 @@ class BlockGroup:
     @property
     def is_rank1(self) -> bool:
         return self.B is not None
+
+    @property
+    def is_sparse(self) -> bool:
+        return self.Avals is not None
 
 
 @partial(
@@ -210,6 +226,24 @@ def _rank1_factor_block(blk: _BlockData, n: int) -> Optional[Tuple[np.ndarray, n
 # ---------------------------------------------------------------------------
 
 
+def _expand_coo(blk: _BlockData, n: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Full (both-triangle) COO per matrix, plus the max entry count."""
+    if blk.A_coo is not None:
+        j, r, c, v = blk.A_coo
+    else:
+        j, r, c = np.nonzero(blk.A_dense)
+        keep = r <= c  # upper triangle; expansion below restores symmetry
+        j, r, c = j[keep], r[keep], c[keep]
+        v = blk.A_dense[j, r, c]
+    off = r != c
+    jf = np.concatenate([j, j[off]])
+    rf = np.concatenate([r, c[off]])
+    cf = np.concatenate([c, r[off]])
+    vf = np.concatenate([v, v[off]])
+    counts = np.bincount(jf, minlength=n)
+    return (jf, rf, cf, vf), counts
+
+
 def _build_problem(
     blocks: List[_BlockData],
     b: np.ndarray,
@@ -219,6 +253,9 @@ def _build_problem(
     datarank: int,
     pad_multiple: int,
     dtype,
+    storage: str = "auto",
+    max_dense_gb: float = 4.0,
+    sparse_max_nnz: int = 64,
 ) -> SDPProblem:
     n = int(np.asarray(b).shape[0])
     nlmi = len(blocks)
@@ -233,6 +270,37 @@ def _build_problem(
                 break
             factors[i] = f
 
+    # storage decision (per problem): rank-1 beats all when it applies; the
+    # sparse gather path replaces the reference's nnz-regime dispatch when
+    # data matrices have small support and n is large enough that the dense
+    # O(n^2 m^2) Schur contraction dominates (SURVEY section 7 stance:
+    # evaluate, don't inherit, the sparse regimes)
+    mode = storage
+    if use_rank1:
+        mode = "rank1"
+    elif storage == "auto":
+        dense_bytes = sum((n + 1) * blk.m0**2 * 8 for blk in blocks)
+        coo_counts = []
+        for blk in blocks:
+            _, counts = _expand_coo(blk, n)
+            coo_counts.append(int(counts.max()) if counts.size else 0)
+        s_max = max(coo_counts, default=0)
+        if dense_bytes > max_dense_gb * 1e9:
+            mode = "sparse"
+            if s_max > sparse_max_nnz:
+                warnings.warn(
+                    f"data too large for dense storage and not very sparse "
+                    f"(max {s_max} entries/matrix); using the sparse path anyway"
+                )
+        elif s_max <= sparse_max_nnz and n >= 256:
+            mode = "sparse"
+        else:
+            mode = "dense"
+    if mode not in ("dense", "sparse", "rank1"):
+        raise ValueError(f"storage must be auto/dense/sparse, got {storage!r}")
+    if mode == "rank1" and not use_rank1:
+        raise ValueError("rank-1 storage requires datarank=-1 and factorizable data")
+
     buckets = {}
     for i, blk in enumerate(blocks):
         m_pad = _round_up(blk.m0, pad_multiple)
@@ -242,6 +310,7 @@ def _build_problem(
     for m_pad in sorted(buckets):
         idxs = buckets[m_pad]
         Cstack, Astack, Bstack, Sgnstack, sizes = [], [], [], [], []
+        coo_blocks = []
         for i in idxs:
             blk = blocks[i]
             m0 = blk.m0
@@ -250,23 +319,48 @@ def _build_problem(
             Cp[:m0, :m0] = blk.C
             Cp[range(m0, m_pad), range(m0, m_pad)] = 1.0  # identity tail
             Cstack.append(Cp)
-            if use_rank1:
+            if mode == "rank1":
                 B, sgn = factors[i]
                 Bp = np.zeros((n, m_pad))
                 Bp[:, :m0] = B
                 Bstack.append(Bp)
                 Sgnstack.append(sgn)
+            elif mode == "sparse":
+                coo_blocks.append(_expand_coo(blk, n))
             else:
                 A = blk.densify(n)
                 Ap = np.zeros((n, m_pad, m_pad))
                 Ap[:, :m0, :m0] = A
                 Astack.append(Ap)
+
+        Arows = Acols = Avals = None
+        if mode == "sparse":
+            s_grp = max(
+                (int(counts.max()) if counts.size else 0)
+                for _, counts in coo_blocks
+            )
+            s_grp = max(s_grp, 1)
+            nb_ = len(idxs)
+            Arows = np.zeros((nb_, n, s_grp), dtype=np.int32)
+            Acols = np.zeros((nb_, n, s_grp), dtype=np.int32)
+            Avals = np.zeros((nb_, n, s_grp))
+            for bpos, ((jf, rf, cf, vf), counts) in enumerate(coo_blocks):
+                order = np.argsort(jf, kind="stable")
+                jf, rf, cf, vf = jf[order], rf[order], cf[order], vf[order]
+                slot = np.concatenate([np.arange(c) for c in counts]) if jf.size else jf
+                Arows[bpos, jf, slot] = rf
+                Acols[bpos, jf, slot] = cf
+                Avals[bpos, jf, slot] = vf
+
         groups.append(
             BlockGroup(
                 C=jnp.asarray(np.stack(Cstack), dtype=dtype),
-                A=None if use_rank1 else jnp.asarray(np.stack(Astack), dtype=dtype),
-                B=jnp.asarray(np.stack(Bstack), dtype=dtype) if use_rank1 else None,
-                Bsgn=jnp.asarray(np.stack(Sgnstack), dtype=dtype) if use_rank1 else None,
+                A=jnp.asarray(np.stack(Astack), dtype=dtype) if mode == "dense" else None,
+                B=jnp.asarray(np.stack(Bstack), dtype=dtype) if mode == "rank1" else None,
+                Bsgn=jnp.asarray(np.stack(Sgnstack), dtype=dtype) if mode == "rank1" else None,
+                Arows=jnp.asarray(Arows) if mode == "sparse" else None,
+                Acols=jnp.asarray(Acols) if mode == "sparse" else None,
+                Avals=jnp.asarray(Avals, dtype=dtype) if mode == "sparse" else None,
                 m=m_pad,
                 nb=len(idxs),
                 orig_sizes=tuple(sizes),
@@ -298,6 +392,7 @@ def problem_from_dense(
     datarank: int = 0,
     pad_multiple: int = 8,
     dtype=jnp.float64,
+    storage: str = "auto",
 ) -> SDPProblem:
     """Build an SDPProblem from per-block dense numpy data.
 
@@ -308,13 +403,16 @@ def problem_from_dense(
       C_lin: optional [n, nlin]; d_lin: optional [nlin].
       datarank: -1 attempts the rank-one compression (5e-6 guard with dense
         fallback).
+      storage: 'auto' | 'dense' | 'sparse' data representation (auto picks
+        sparse for small-support data with large n).
     """
     blocks = [
         _BlockData(C=np.asarray(C, dtype=np.float64), A_dense=np.asarray(A, dtype=np.float64))
         for A, C in zip(As, Cs)
     ]
     return _build_problem(
-        blocks, np.asarray(b, dtype=np.float64), C_lin, d_lin, b_const, datarank, pad_multiple, dtype
+        blocks, np.asarray(b, dtype=np.float64), C_lin, d_lin, b_const, datarank,
+        pad_multiple, dtype, storage=storage,
     )
 
 
@@ -323,7 +421,8 @@ def problem_from_sdpa(
     datarank: int = 0,
     pad_multiple: int = 8,
     dtype=jnp.float64,
-    max_dense_gb: float = 8.0,
+    max_dense_gb: float = 4.0,
+    storage: str = "auto",
 ) -> SDPProblem:
     """Convert SDPA data (min c^T x s.t. sum x_j F_j - F_0 >= 0) to the
     internal dual form: y = x, b = -c, A_j = -F_j, C = -F_0; diagonal blocks
@@ -362,12 +461,6 @@ def problem_from_sdpa(
                 _BlockData(C=C, A_coo=(mat[fj] - 1, row[fj], col[fj], -val[fj]))
             )
 
-    if datarank != -1 and dense_bytes > max_dense_gb * 1e9:
-        raise MemoryError(
-            f"dense data would need {dense_bytes / 1e9:.1f} GB; "
-            "use datarank=-1 (rank-one data) for this problem"
-        )
-
     C_lin = np.concatenate(lp_cols, axis=1) if lp_cols else None
     d_lin = np.concatenate(lp_d) if lp_d else None
     return _build_problem(
@@ -379,6 +472,8 @@ def problem_from_sdpa(
         datarank=datarank,
         pad_multiple=pad_multiple,
         dtype=dtype,
+        storage=storage,
+        max_dense_gb=max_dense_gb,
     )
 
 

@@ -23,6 +23,7 @@ def _random_group(key, nb, n, m, rank1=False):
     C = (C + jnp.swapaxes(C, -1, -2)) / 2
     g = BlockGroup(
         C=C, A=None if rank1 else A, B=B, Bsgn=sgn,
+        Arows=None, Acols=None, Avals=None,
         m=m, nb=nb, orig_sizes=(m,) * nb, orig_indices=tuple(range(nb)),
     )
     return g, A
@@ -66,7 +67,8 @@ def test_schur_rank1_matches_dense():
     nb, n, m = 2, 5, 6
     g1, A = _random_group(key, nb, n, m, rank1=True)
     gdense = BlockGroup(
-        C=g1.C, A=A, B=None, Bsgn=None, m=m, nb=nb,
+        C=g1.C, A=A, B=None, Bsgn=None,
+        Arows=None, Acols=None, Avals=None, m=m, nb=nb,
         orig_sizes=g1.orig_sizes, orig_indices=g1.orig_indices,
     )
     Wf = _random_spd(jax.random.PRNGKey(7), nb, m)

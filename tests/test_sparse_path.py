@@ -1,0 +1,89 @@
+"""Sparse-data storage path: gather-based contractions vs the dense oracle,
+and end-to-end solves routed through sparse storage (the TPU-native
+equivalent of the reference's three-regime sparse Schur assembly)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import loraine_tpu as lt
+from loraine_tpu.ops.schur import Aadj, Aop, schur_group
+
+
+def _sparse_random(seed=0, nb=2, n=40, m=12, nnz=3):
+    rng = np.random.default_rng(seed)
+    As = []
+    for _ in range(nb):
+        A = np.zeros((n, m, m))
+        for j in range(n):
+            for _ in range(nnz):
+                r, c = rng.integers(0, m, 2)
+                v = rng.standard_normal()
+                A[j, r, c] += v
+                if r != c:
+                    A[j, c, r] += v
+        As.append(A)
+    Cs = []
+    for _ in range(nb):
+        C = rng.standard_normal((m, m))
+        Cs.append(C @ C.T + m * np.eye(m))
+    b = rng.standard_normal(n)
+    return As, Cs, b
+
+
+def test_sparse_contractions_match_dense():
+    As, Cs, b = _sparse_random()
+    pd = lt.problem_from_dense(As, Cs, b, storage="dense", pad_multiple=4)
+    ps = lt.problem_from_dense(As, Cs, b, storage="sparse", pad_multiple=4)
+    (gd,), (gs,) = pd.groups, ps.groups
+    assert gs.is_sparse and not gd.is_sparse
+
+    rng = np.random.default_rng(1)
+    W = rng.standard_normal((gd.nb, gd.m, gd.m))
+    W = jnp.asarray(W @ W.transpose(0, 2, 1) + gd.m * np.eye(gd.m))
+    G = jnp.linalg.cholesky(W)
+    X = W  # any symmetric batch
+    y = jnp.asarray(rng.standard_normal(pd.n))
+
+    np.testing.assert_allclose(np.asarray(Aop(gs, X)), np.asarray(Aop(gd, X)), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(Aadj(gs, y)), np.asarray(Aadj(gd, y)), rtol=1e-10, atol=1e-12)
+    Hs = schur_group(gs, W, G)
+    Hd = schur_group(gd, W, G)
+    np.testing.assert_allclose(np.asarray(Hs), np.asarray(Hd), rtol=1e-9, atol=1e-9)
+
+
+def test_sparse_solve_matches_dense_e2e():
+    As, Cs, b = _sparse_random(seed=5)
+    pd = lt.problem_from_dense(As, Cs, b, storage="dense")
+    ps = lt.problem_from_dense(As, Cs, b, storage="sparse")
+    rd = lt.solve(pd, {"kit": 0, "eDIMACS": 1e-7, "verb": 0})
+    rs = lt.solve(ps, {"kit": 0, "eDIMACS": 1e-7, "verb": 0})
+    assert rd.status == rs.status == 1
+    np.testing.assert_allclose(rs.objective, rd.objective, rtol=1e-7)
+    assert rs.iterations == rd.iterations
+
+
+def test_sparse_iterative_with_alpha():
+    As, Cs, b = _sparse_random(seed=7, nb=1, n=30, m=10)
+    ps = lt.problem_from_dense(As, Cs, b, storage="sparse")
+    rs = lt.solve(
+        ps,
+        {"kit": 1, "preconditioner": 1, "eDIMACS": 1e-5, "tol_cg_min": 1e-6, "verb": 0},
+    )
+    pd = lt.problem_from_dense(As, Cs, b, storage="dense")
+    rd = lt.solve(pd, {"kit": 0, "eDIMACS": 1e-7, "verb": 0})
+    assert rs.status == 1
+    np.testing.assert_allclose(rs.objective, rd.objective, rtol=1e-4)
+
+
+def test_tru3_auto_routes_and_solves(data_dir):
+    # tru3: many tiny-support matrices; auto storage should pick sparse when
+    # n >= 256 (tru3 has n=544)... verify whatever auto picks solves right
+    prob = lt.problem_from_sdpa(str(data_dir / "tru3.dat-s"))
+    res = lt.solve(prob, {"kit": 0, "eDIMACS": 1e-7, "initpoint": 1, "verb": 0})
+    assert res.status == 1
+    prob_sparse = lt.problem_from_sdpa(str(data_dir / "tru3.dat-s"), storage="sparse")
+    assert all(g.is_sparse for g in prob_sparse.groups)
+    res_s = lt.solve(prob_sparse, {"kit": 0, "eDIMACS": 1e-7, "initpoint": 1, "verb": 0})
+    assert res_s.status == 1
+    np.testing.assert_allclose(res_s.objective, res.objective, rtol=1e-6)
