@@ -51,6 +51,7 @@ def _enable_persistent_cache() -> None:
     except Exception:  # cache is an optimization; never fail over it
         pass
 
+from . import modeling
 from .config import Options, DEFAULT_OPTIONS
 from .io.sdpa import SDPAData, read_sdpa, write_sdpa
 from .problem import BlockGroup, SDPProblem, problem_from_dense, problem_from_sdpa
@@ -60,6 +61,7 @@ from .ipm.state import IPMState
 __version__ = "0.1.0"
 
 __all__ = [
+    "modeling",
     "Options",
     "DEFAULT_OPTIONS",
     "SDPAData",
