@@ -46,7 +46,9 @@ def _enable_persistent_cache() -> None:
             _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"),
         )
         _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(cache_dir))
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # cache EVERYTHING: through the tunnel even trivial executables cost
+        # seconds to compile, and backend-reported compile times understate it
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:  # cache is an optimization; never fail over it
         pass

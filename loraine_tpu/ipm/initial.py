@@ -23,20 +23,10 @@ TAU = 0.95
 EXPON = 3.0
 
 
-def _group_data_fro_norms(g) -> np.ndarray:
-    """Per-block Frobenius norm of the stacked data operator,
-    ||AA_i||_F = sqrt(sum_j ||A_j||_F^2)."""
-    if g.is_rank1:
-        # ||sgn b b^T||_F = ||b||^2
-        sq = jnp.sum(g.B**2, axis=-1)  # [nb, n]
-        return np.asarray(jnp.sqrt(jnp.sum(sq**2, axis=-1)))
-    if g.is_sparse:
-        # expanded COO lists both triangles, so sum(v^2) is exactly ||.||_F^2
-        return np.asarray(jnp.sqrt(jnp.sum(g.Avals**2, axis=(-1, -2))))
-    return np.asarray(jnp.sqrt(jnp.sum(g.A**2, axis=(-1, -2, -3))))
-
-
 def initial_point(problem: SDPProblem, opts: Options) -> IPMState:
+    """Pure host-side (numpy) construction — on TPU every eager device op is
+    a separate tiny executable, so the start point is built in numpy and
+    shipped once."""
     dtype = problem.b.dtype
     n = problem.n
     b2 = 1.0 + np.abs(np.asarray(problem.b))
@@ -45,27 +35,24 @@ def initial_point(problem: SDPProblem, opts: Options) -> IPMState:
     Xs, Ss = [], []
     for g in problem.groups:
         m = g.m
-        eye = jnp.eye(m, dtype=dtype)[None]
+        eye = np.eye(m)[None]
         if opts.initpoint == 0:
-            eps = jnp.ones((g.nb,), dtype=dtype)
-            eta = jnp.full((g.nb,), float(n), dtype=dtype)
+            eps = np.ones((g.nb,))
+            eta = np.full((g.nb,), float(n))
         else:
-            fro_A = _group_data_fro_norms(g)  # [nb]
+            fro_A = np.asarray(g.data_norms)  # [nb], precomputed at build
             f = norm_b2 / (1.0 + fro_A)
             eps = np.sqrt(m) * np.maximum(1.0, np.sqrt(m) * f)
-            fro_C = np.asarray(jnp.sqrt(jnp.sum(g.C**2, axis=(-1, -2))))
+            fro_C = np.asarray(g.C_norms)
             mf = np.maximum(f, fro_C)
             mf = (1.0 + mf) / np.sqrt(m)
             eta = np.sqrt(m) * np.maximum(1.0, mf)
-            eps = jnp.asarray(eps, dtype=dtype)
-            eta = jnp.asarray(eta, dtype=dtype)
-        Xs.append(eps[:, None, None] * eye)
-        Ss.append(eta[:, None, None] * eye)
+        Xs.append(jnp.asarray(eps[:, None, None] * eye, dtype=dtype))
+        Ss.append(jnp.asarray(eta[:, None, None] * eye, dtype=dtype))
 
     if problem.nlin > 0:
         if opts.initpoint == 0:
-            X_lin = jnp.ones((problem.nlin,), dtype=dtype)
-            S_lin = jnp.ones((problem.nlin,), dtype=dtype)
+            epss = etaa = 1.0
         else:
             C_lin = np.asarray(problem.C_lin)  # [n, nlin]
             row_norms = np.linalg.norm(C_lin, axis=1)  # per variable j
@@ -74,8 +61,8 @@ def initial_point(problem: SDPProblem, opts: Options) -> IPMState:
             mf = max(float(row_norms.max()) if row_norms.size else 0.0,
                      float(np.linalg.norm(np.asarray(problem.d_lin))))
             etaa = max(1.0, mf / np.sqrt(problem.nlin))
-            X_lin = jnp.full((problem.nlin,), epss, dtype=dtype)
-            S_lin = jnp.full((problem.nlin,), etaa, dtype=dtype)
+        X_lin = jnp.asarray(np.full(problem.nlin, epss), dtype=dtype)
+        S_lin = jnp.asarray(np.full(problem.nlin, etaa), dtype=dtype)
     else:
         X_lin = None
         S_lin = None
@@ -83,7 +70,7 @@ def initial_point(problem: SDPProblem, opts: Options) -> IPMState:
     return IPMState(
         X=tuple(Xs),
         S=tuple(Ss),
-        y=jnp.zeros((n,), dtype=dtype),
+        y=jnp.asarray(np.zeros(n), dtype=dtype),
         X_lin=X_lin,
         S_lin=S_lin,
         sigma=jnp.asarray(INITIAL_SIGMA, dtype=dtype),

@@ -262,12 +262,16 @@ class Solver:
         y = np.asarray(jax.device_get(state.y))
         X_lin = None if state.X_lin is None else np.asarray(jax.device_get(state.X_lin))
 
+        # host-side arithmetic: avoids eager device programs (slow tunnel
+        # compiles on TPU)
         trCX = 0.0
-        for g, Xg in zip(p.groups, state.X):
-            trCX += float(jnp.einsum("bpq,bpq->", g.C, Xg))
+        for g, Xg, Sg in zip(p.groups, state.X, state.S):
+            Ch = np.asarray(jax.device_get(g.C))
+            Xh = np.asarray(jax.device_get(Xg))
+            trCX += float(np.sum(Ch * Xh))
         dual_obj = -trCX
         if p.nlin > 0:
-            dual_obj -= float(jnp.dot(p.d_lin, state.X_lin))
+            dual_obj -= float(np.dot(np.asarray(jax.device_get(p.d_lin)), X_lin))
 
         return Result(
             status=status,

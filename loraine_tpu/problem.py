@@ -54,7 +54,7 @@ RANK1_TOL = 5.0e-6
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["C", "A", "B", "Bsgn", "Arows", "Acols", "Avals"],
-    meta_fields=["m", "nb", "orig_sizes", "orig_indices"],
+    meta_fields=["m", "nb", "orig_sizes", "orig_indices", "data_norms", "C_norms"],
 )
 @dataclasses.dataclass
 class BlockGroup:
@@ -85,6 +85,11 @@ class BlockGroup:
     nb: int
     orig_sizes: Tuple[int, ...]
     orig_indices: Tuple[int, ...]
+    # host-side norms, precomputed at build time so the initial point needs
+    # no device computation: per block ||AA_i||_F = sqrt(sum_j ||A_j||_F^2)
+    # and ||C_i||_F
+    data_norms: Tuple[float, ...] = ()
+    C_norms: Tuple[float, ...] = ()
 
     @property
     def is_rank1(self) -> bool:
@@ -352,9 +357,20 @@ def _build_problem(
                 Acols[bpos, jf, slot] = cf
                 Avals[bpos, jf, slot] = vf
 
+        Cnp = np.stack(Cstack)
+        if mode == "rank1":
+            data_norms = tuple(
+                float(np.sqrt(np.sum(np.sum(B**2, axis=-1) ** 2))) for B in Bstack
+            )
+        elif mode == "sparse":
+            data_norms = tuple(
+                float(np.sqrt(np.sum(Avals[i] ** 2))) for i in range(len(idxs))
+            )
+        else:
+            data_norms = tuple(float(np.sqrt(np.sum(A**2))) for A in Astack)
         groups.append(
             BlockGroup(
-                C=jnp.asarray(np.stack(Cstack), dtype=dtype),
+                C=jnp.asarray(Cnp, dtype=dtype),
                 A=jnp.asarray(np.stack(Astack), dtype=dtype) if mode == "dense" else None,
                 B=jnp.asarray(np.stack(Bstack), dtype=dtype) if mode == "rank1" else None,
                 Bsgn=jnp.asarray(np.stack(Sgnstack), dtype=dtype) if mode == "rank1" else None,
@@ -365,6 +381,8 @@ def _build_problem(
                 nb=len(idxs),
                 orig_sizes=tuple(sizes),
                 orig_indices=tuple(idxs),
+                data_norms=data_norms,
+                C_norms=tuple(float(np.linalg.norm(Ci)) for Ci in Cstack),
             )
         )
 
