@@ -59,6 +59,7 @@ from .io.sdpa import SDPAData, read_sdpa, write_sdpa
 from .problem import BlockGroup, SDPProblem, problem_from_dense, problem_from_sdpa
 from .ipm.solver import Result, Solver, solve, solve_sdpa
 from .ipm.state import IPMState
+from .utils.checkpoint import load_state, save_state
 
 __version__ = "0.1.0"
 
@@ -78,4 +79,6 @@ __all__ = [
     "solve",
     "solve_sdpa",
     "IPMState",
+    "save_state",
+    "load_state",
 ]

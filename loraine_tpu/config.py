@@ -67,6 +67,8 @@ class Options:
     pad_multiple: int = 8
     step_eig: str = "exact"
     cg_maxiter: int = 10000
+    profile_dir: str = ""  # capture a jax.profiler trace of the solve
+    nt_method: str = "eigh"  # 'eigh' (no SVD codepath) or 'svd' (reference)
 
     def validated(self) -> "Options":
         """Range-check options, auto-correcting out-of-range values with a
@@ -95,6 +97,10 @@ class Options:
             _warn(f"Parameter initpoint out of range, setting initpoint = {o.initpoint}")
         if o.dtype not in ("float32", "float64"):
             raise ValueError(f"dtype must be 'float32' or 'float64', got {o.dtype!r}")
+        if o.nt_method not in ("eigh", "svd"):
+            raise ValueError(f"nt_method must be 'eigh' or 'svd', got {o.nt_method!r}")
+        if o.step_eig not in ("exact", "chol"):
+            raise ValueError(f"step_eig must be 'exact' or 'chol', got {o.step_eig!r}")
         if o.pad_multiple < 1:
             o.pad_multiple = 1
         return o

@@ -59,15 +59,24 @@ class Result:
     solve_time: float
     iteration_times: List[float]
     timer: PhaseTimer
+    final_state: Optional[IPMState] = None  # for warm-start / checkpointing
 
 
 class Solver:
-    def __init__(self, problem: SDPProblem, options: Union[Options, Dict[str, Any], None] = None):
+    def __init__(
+        self,
+        problem: SDPProblem,
+        options: Union[Options, Dict[str, Any], None] = None,
+        initial_state: Optional[IPMState] = None,
+    ):
+        """``initial_state`` warm-starts the IPM from a saved iterate
+        (see save_state/load_state); shapes must match the problem."""
         if isinstance(options, dict) or options is None:
             options = Options.from_dict(options)
         self.problem = problem
         self.opts = options.validated()
         self.timer = PhaseTimer()
+        self.initial_state = initial_state
         self._apply_auto_downgrades()
 
     def _apply_auto_downgrades(self) -> None:
@@ -139,7 +148,12 @@ class Solver:
         self._header()
 
         with self.timer.phase("initial point"):
-            state = initial_point(p, o)
+            state = self.initial_state if self.initial_state is not None else initial_point(p, o)
+
+        profiler_cm = None
+        if o.profile_dir:
+            profiler_cm = jax.profiler.trace(o.profile_dir)
+            profiler_cm.__enter__()
 
         precond_kind = o.preconditioner if o.kit == 1 else -1
         with self.timer.phase("build/compile step"):
@@ -233,6 +247,10 @@ class Solver:
                     with self.timer.phase("build/compile step"):
                         step = jitted_step(o, precond_kind)
 
+        if profiler_cm is not None:
+            jax.block_until_ready(state)
+            profiler_cm.__exit__(None, None, None)
+
         solve_time = time.time() - t_start
         if o.verb > 0:
             if o.kit == 1:
@@ -289,6 +307,7 @@ class Solver:
             solve_time=solve_time,
             iteration_times=iteration_times,
             timer=self.timer,
+            final_state=state,
         )
 
 

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from ..config import Options
 from ..problem import SDPProblem
 from ..ops.cg import pcg
-from ..ops.linalg import btrace, chol_reg, cho_solve, eigmin, sym
+from ..ops.linalg import btrace, chol_reg, cho_solve, eigmin, eigmin_chol, sym
 from ..ops.nt_scaling import NTScaling, nt_scale
 from ..ops.precond import prep_alpha, prep_beta
 from ..ops.schur import Aadj, Aop, lp_weight, schur_group, schur_lp
@@ -64,6 +64,7 @@ def _group_dirs(
     predict: bool,
     sig_mu: Optional[jax.Array] = None,
     RNT: Optional[jax.Array] = None,
+    eigmin_fn=eigmin,
 ) -> _GroupDirs:
     """Directions and per-block steplengths (`find_step`,
     `src/predictor_corrector.jl:248-293`)."""
@@ -81,7 +82,7 @@ def _group_dirs(
     scaleS = sym(nt.DDsi[:, :, None] * delSb * nt.DDsi[:, None, :])
     # one batched eigendecomposition for both steplengths (latency win)
     nb = scaleX.shape[0]
-    ev = eigmin(jnp.concatenate([scaleX, scaleS], axis=0))
+    ev = eigmin_fn(jnp.concatenate([scaleX, scaleS], axis=0))
     alpha = _steplen(ev[:nb])
     beta = _steplen(ev[nb:])
     return _GroupDirs(delX=delX, delS=delS, alpha=alpha, beta=beta)
@@ -123,6 +124,7 @@ def build_step(opts: Options, precond_kind: int):
     `src/Solvers.jl:339-347` rebuilds the step once at the switch).
     """
     kit = opts.kit
+    eigmin_fn = eigmin_chol if opts.step_eig == "chol" else eigmin
 
     def step(problem: SDPProblem, st: IPMState, tol_cg: jax.Array):
         dtype = problem.b.dtype
@@ -141,7 +143,9 @@ def build_step(opts: Options, precond_kind: int):
         mu = tr / denom
 
         # ---- NT scaling (prepare_W)
-        nts = tuple(nt_scale(X, S) for X, S in zip(st.X, st.S))
+        nts = tuple(
+            nt_scale(X, S, method=opts.nt_method) for X, S in zip(st.X, st.S)
+        )
         nt_ok = one.astype(bool)
         for nt in nts:
             nt_ok = jnp.logical_and(nt_ok, nt.ok)
@@ -203,7 +207,7 @@ def build_step(opts: Options, precond_kind: int):
 
         # ---- predictor directions + steplengths
         dirs = tuple(
-            _group_dirs(g, nt, Rd, X, dely, predict=True)
+            _group_dirs(g, nt, Rd, X, dely, predict=True, eigmin_fn=eigmin_fn)
             for g, nt, Rd, X in zip(problem.groups, nts, Rds, st.X)
         )
         if nlin:
@@ -277,7 +281,10 @@ def build_step(opts: Options, precond_kind: int):
 
         # ---- corrector directions + final update
         dirs2 = tuple(
-            _group_dirs(g, nt, Rd, X, dely2, predict=False, sig_mu=sig_mu, RNT=RNT)
+            _group_dirs(
+                g, nt, Rd, X, dely2,
+                predict=False, sig_mu=sig_mu, RNT=RNT, eigmin_fn=eigmin_fn,
+            )
             for g, nt, Rd, X, RNT in zip(problem.groups, nts, Rds, st.X, RNTs)
         )
         if nlin:
@@ -314,7 +321,7 @@ def build_step(opts: Options, precond_kind: int):
         trCX = jnp.zeros((), dtype=dtype)
         for g, X, S, Rd in zip(problem.groups, X_new, S_new, Rds):
             normC = jnp.sqrt(jnp.sum(g.C**2, axis=(-1, -2)))  # [nb]
-            ev = eigmin(jnp.concatenate([X, S], axis=0))  # one batched eigh
+            ev = eigmin_fn(jnp.concatenate([X, S], axis=0))  # one batched eigmin
             evX, evS = ev[: X.shape[0]], ev[X.shape[0] :]
             err2 = err2 + jnp.sum(jnp.maximum(0.0, -evX) / (1.0 + normb))
             err3 = err3 + jnp.sum(
@@ -374,13 +381,18 @@ def _bdiag(d: jax.Array) -> jax.Array:
 
 _STEP_CACHE = {}
 
+# options that change the traced program; everything else (maxit, verb,
+# eDIMACS, tolerance schedule, timing, profile_dir, ...) lives on the host
+# side of the loop and must NOT key the cache
+_TRACE_RELEVANT = ("kit", "erank", "aamat", "cg_maxiter", "nt_method", "dtype", "step_eig")
+
 
 def jitted_step(opts: Options, precond_kind: int):
-    """Jitted step, cached on the option values so repeated solves (and
-    repeated Solver instances) reuse traces and XLA executables. TPU
-    compiles run minutes through the tunnel; without this every solve
+    """Jitted step, cached on the *trace-relevant* option values so repeated
+    solves (and repeated Solver instances) reuse traces and XLA executables.
+    TPU compiles run minutes through the tunnel; without this every solve
     would pay them again."""
-    key = (tuple(sorted(vars(opts).items())), precond_kind)
+    key = (tuple(getattr(opts, f) for f in _TRACE_RELEVANT), precond_kind)
     fn = _STEP_CACHE.get(key)
     if fn is None:
         fn = jax.jit(build_step(opts, precond_kind))

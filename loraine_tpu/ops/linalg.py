@@ -21,6 +21,7 @@ __all__ = [
     "cho_solve",
     "tri_solve",
     "eigmin",
+    "eigmin_chol",
     "btrace",
 ]
 
@@ -87,6 +88,36 @@ def cho_solve(L: jax.Array, b: jax.Array) -> jax.Array:
 def eigmin(M: jax.Array) -> jax.Array:
     """Smallest eigenvalue(s) of symmetric M; batched over leading axes."""
     return jnp.linalg.eigvalsh(M)[..., 0]
+
+
+def eigmin_chol(M: jax.Array, iters: int = 45) -> jax.Array:
+    """Guaranteed lower bound on the smallest eigenvalue via Cholesky
+    bisection: chol(M - t*I) succeeds iff lambda_min > t. Returns the
+    bracket's lower end, so steplengths derived from it are always safe
+    (never longer than the exact ones).
+
+    Rationale: XLA's f64 QDWH eigendecomposition takes minutes to COMPILE
+    on TPU for large m, while Cholesky compiles in seconds; this routine
+    reuses the Cholesky executable ~45 times instead. Precision after k
+    steps: ||M||_inf * 2^-k.
+    """
+    m = M.shape[-1]
+    eye = jnp.eye(m, dtype=M.dtype)
+    B = jnp.max(jnp.sum(jnp.abs(M), axis=-1), axis=-1)  # Gershgorin outer radius
+    lo = -B
+    hi = B
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) / 2.0
+        L = jnp.linalg.cholesky(M - mid[..., None, None] * eye)
+        ok = jnp.logical_not(jnp.isnan(L).any(axis=(-1, -2)))  # PD: lambda_min > mid
+        lo = jnp.where(ok, mid, lo)
+        hi = jnp.where(ok, hi, mid)
+        return lo, hi
+
+    lo, hi = lax.fori_loop(0, iters, body, (lo, hi))
+    return lo
 
 
 def btrace(X, S) -> jax.Array:

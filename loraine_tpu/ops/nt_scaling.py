@@ -37,19 +37,40 @@ class NTScaling(NamedTuple):
     ok: jax.Array  # bool scalar
 
 
-def nt_scale(X: jax.Array, S: jax.Array, reg_eps: float = 1e-5, max_reg: int = 1000) -> NTScaling:
+def nt_scale(
+    X: jax.Array,
+    S: jax.Array,
+    reg_eps: float = 1e-5,
+    max_reg: int = 1000,
+    method: str = "eigh",
+) -> NTScaling:
     """Compute the NT scaling for a stacked group of blocks [nb, m, m].
 
     X and S factorize in ONE batched Cholesky over a [2nb, m, m] stack —
     on TPU the small-matrix decompositions are latency-bound, so halving
-    their count halves this phase."""
+    their count halves this phase.
+
+    method:
+      'eigh' (default): V and D^2 from eigh(L_x^T S L_x) — the right
+        singular vectors / squared singular values of L_s^T L_x, without
+        instantiating the SVD codepath (XLA's f64 QDWH-SVD is a large,
+        slow-to-compile program on TPU; eigh alone suffices since U is
+        never used).
+      'svd': the reference formulation (`src/prepare_W.jl:37-47`).
+    """
     nb, m = X.shape[0], X.shape[-1]
     cboth = chol_reg(jnp.concatenate([X, S], axis=0), reg_eps, max_reg)
     Lx, Ls = cboth.L[:nb], cboth.L[nb:]
 
-    CC = jnp.swapaxes(Ls, -1, -2) @ Lx  # L_s^T L_x
-    _, D, Vt = jnp.linalg.svd(CC)
-    V = jnp.swapaxes(Vt, -1, -2)
+    if method == "svd":
+        CC = jnp.swapaxes(Ls, -1, -2) @ Lx  # L_s^T L_x
+        _, D, Vt = jnp.linalg.svd(CC)
+        V = jnp.swapaxes(Vt, -1, -2)
+    else:
+        # eig(L_x^T S L_x) = V D^2 V^T with the same V as svd(L_s^T L_x)
+        M = jnp.swapaxes(Lx, -1, -2) @ S @ Lx
+        lam, V = jnp.linalg.eigh(sym(M))
+        D = jnp.sqrt(jnp.maximum(lam, 1e-300))
 
     d_isqrt = 1.0 / jnp.sqrt(D)
     G = (Lx @ V) * d_isqrt[..., None, :]

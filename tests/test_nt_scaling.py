@@ -45,3 +45,32 @@ def test_chol_regularization_recovers():
     assert bool(res.ok)
     assert not np.any(np.isnan(np.asarray(res.L)))
     assert int(res.shifts) >= 1
+
+
+def test_eigmin_chol_bound():
+    from loraine_tpu.ops.linalg import eigmin, eigmin_chol
+
+    key = jax.random.PRNGKey(5)
+    M = jax.random.normal(key, (4, 12, 12), dtype=jnp.float64)
+    M = (M + jnp.swapaxes(M, -1, -2)) / 2
+    exact = np.asarray(eigmin(M))
+    bound = np.asarray(eigmin_chol(M))
+    # lower bound, tight to ~1e-10 relative
+    assert np.all(bound <= exact + 1e-12)
+    np.testing.assert_allclose(bound, exact, rtol=1e-8, atol=1e-10)
+
+
+def test_step_eig_chol_e2e():
+    import loraine_tpu as lt
+
+    ref = lt.solve_sdpa(
+        "tests/data/theta1.dat-s",
+        {"kit": 0, "eDIMACS": 1e-6, "initpoint": 1, "verb": 0},
+    )
+    res = lt.solve_sdpa(
+        "tests/data/theta1.dat-s",
+        {"kit": 0, "eDIMACS": 1e-6, "initpoint": 1, "verb": 0, "step_eig": "chol"},
+    )
+    assert res.status == 1
+    np.testing.assert_allclose(res.objective, ref.objective, rtol=1e-6)
+    assert abs(res.iterations - ref.iterations) <= 1
