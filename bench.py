@@ -35,6 +35,8 @@ CASES = [
 
 EXTRA_CASES = [
     ("control1", "tests/data/control1.dat-s", {"kit": 0, "eDIMACS": 1e-5, "initpoint": 1, "verb": 0}),
+    ("thetaG11", "tests/data/thetaG11.dat-s", {"kit": 0, "eDIMACS": 1e-5, "initpoint": 1, "datarank": -1, "verb": 0}),
+    ("tru9", "tests/data/tru9.dat-s", {"kit": 0, "eDIMACS": 1e-6, "initpoint": 1, "verb": 0}),
     ("theta1-cg", "tests/data/theta1.dat-s", {"kit": 1, "eDIMACS": 1e-5, "tol_cg_min": 1e-5, "preconditioner": 1, "initpoint": 1, "verb": 0}),
 ]
 

@@ -65,10 +65,17 @@ class Options:
     # TPU-specific
     dtype: str = "float64"
     pad_multiple: int = 8
+    # 'exact': steplength lambda_min via the eigh_backend eigensolver;
+    # 'chol': Cholesky-bisection lower bound (safe, compile-light, but the
+    # sequential small-Cholesky latency on TPU makes it slower at runtime)
     step_eig: str = "exact"
     cg_maxiter: int = 10000
     profile_dir: str = ""  # capture a jax.profiler trace of the solve
     nt_method: str = "eigh"  # 'eigh' (no SVD codepath) or 'svd' (reference)
+    # 'jacobi': in-house parallel-Jacobi eigensolver (compiles in seconds at
+    # any size); 'xla': QDWH (fastest runtime, minutes of compile per shape
+    # on remote TPU backends)
+    eigh_backend: str = "jacobi"
 
     def validated(self) -> "Options":
         """Range-check options, auto-correcting out-of-range values with a
@@ -101,6 +108,8 @@ class Options:
             raise ValueError(f"nt_method must be 'eigh' or 'svd', got {o.nt_method!r}")
         if o.step_eig not in ("exact", "chol"):
             raise ValueError(f"step_eig must be 'exact' or 'chol', got {o.step_eig!r}")
+        if o.eigh_backend not in ("jacobi", "xla"):
+            raise ValueError(f"eigh_backend must be 'jacobi' or 'xla', got {o.eigh_backend!r}")
         if o.pad_multiple < 1:
             o.pad_multiple = 1
         return o

@@ -324,7 +324,14 @@ def solve_sdpa(path: str, options: Union[Options, Dict[str, Any], None] = None) 
         options = Options.from_dict(options)
     options = options.validated()
     dtype = jnp.float64 if options.dtype == "float64" else jnp.float32
+    # datasparsity = 0 means "treat all data as dense" (reference
+    # docs/src/Loraine_options.md:52-56); otherwise storage is auto-selected
+    storage = "dense" if options.datasparsity == 0 else "auto"
     problem = problem_from_sdpa(
-        path, datarank=options.datarank, pad_multiple=options.pad_multiple, dtype=dtype
+        path,
+        datarank=options.datarank,
+        pad_multiple=options.pad_multiple,
+        dtype=dtype,
+        storage=storage,
     )
     return Solver(problem, options).solve()

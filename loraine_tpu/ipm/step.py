@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from ..config import Options
 from ..problem import SDPProblem
 from ..ops.cg import pcg
+from ..ops.eigh import eigh_jacobi
 from ..ops.linalg import btrace, chol_reg, cho_solve, eigmin, eigmin_chol, sym
 from ..ops.nt_scaling import NTScaling, nt_scale
 from ..ops.precond import prep_alpha, prep_beta
@@ -124,7 +125,12 @@ def build_step(opts: Options, precond_kind: int):
     `src/Solvers.jl:339-347` rebuilds the step once at the switch).
     """
     kit = opts.kit
-    eigmin_fn = eigmin_chol if opts.step_eig == "chol" else eigmin
+    if opts.step_eig == "chol":
+        eigmin_fn = eigmin_chol
+    elif opts.eigh_backend == "jacobi":
+        eigmin_fn = lambda M: eigh_jacobi(M)[0][..., 0]
+    else:
+        eigmin_fn = eigmin
 
     def step(problem: SDPProblem, st: IPMState, tol_cg: jax.Array):
         dtype = problem.b.dtype
@@ -144,7 +150,8 @@ def build_step(opts: Options, precond_kind: int):
 
         # ---- NT scaling (prepare_W)
         nts = tuple(
-            nt_scale(X, S, method=opts.nt_method) for X, S in zip(st.X, st.S)
+            nt_scale(X, S, method=opts.nt_method, eigh_backend=opts.eigh_backend)
+            for X, S in zip(st.X, st.S)
         )
         nt_ok = one.astype(bool)
         for nt in nts:
@@ -197,10 +204,14 @@ def build_step(opts: Options, precond_kind: int):
             if precond_kind == 0:
                 precond = lambda x: x
             elif precond_kind == 1:
-                pa = prep_alpha(problem, nts, lpw, opts.erank, opts.aamat)
+                pa = prep_alpha(
+                    problem, nts, lpw, opts.erank, opts.aamat, opts.eigh_backend
+                )
                 precond = lambda x: pa.apply_with(problem, x)
             else:  # 2 or 4 (hybrid starts as beta)
-                pb = prep_beta(problem, nts, lpw, opts.erank, opts.aamat)
+                pb = prep_beta(
+                    problem, nts, lpw, opts.erank, opts.aamat, opts.eigh_backend
+                )
                 precond = pb.apply
             dely, cg_pre = pcg(matvec, h, precond, tol_cg, opts.cg_maxiter)
             solve2 = None  # corrector re-runs CG with the same preconditioner
@@ -384,7 +395,10 @@ _STEP_CACHE = {}
 # options that change the traced program; everything else (maxit, verb,
 # eDIMACS, tolerance schedule, timing, profile_dir, ...) lives on the host
 # side of the loop and must NOT key the cache
-_TRACE_RELEVANT = ("kit", "erank", "aamat", "cg_maxiter", "nt_method", "dtype", "step_eig")
+_TRACE_RELEVANT = (
+    "kit", "erank", "aamat", "cg_maxiter", "nt_method", "dtype", "step_eig",
+    "eigh_backend",
+)
 
 
 def jitted_step(opts: Options, precond_kind: int):

@@ -1,0 +1,142 @@
+"""Batched symmetric eigendecomposition via parallel cyclic Jacobi.
+
+Why this exists: XLA's TPU eigendecomposition (QDWH + spectral divide and
+conquer) produces a very large program that takes MINUTES to compile per
+(shape, dtype) instance through this environment's remote TPU backend
+(measured: 707 s for eigvalsh[2,808,808] f64, 517 s for eigh[1,808,808],
+roughly shape-independent), while Cholesky compiles in seconds. The IPM
+needs one eigendecomposition per block group per iteration (NT scaling,
+preconditioner prep), so first-solve latency on every new problem shape was
+dominated by compiles.
+
+This implementation is a classical one-sided-free *two-sided* Jacobi with a
+round-robin parallel ordering: every round applies m/2 independent Givens
+rotations, vectorized over pairs and over the batch; a sweep is m-1 rounds.
+The program is a pair of nested fori_loops over gathers/rotations/scatters —
+it compiles in seconds at any size and runs entirely on the VPU with O(m^3)
+work per sweep. Jacobi is also the most accurate dense symmetric
+eigensolver (small relative error even for tiny eigenvalues of graded SPD
+matrices), which suits the late-IPM regime where eig(XS) spreads as mu -> 0.
+
+Convergence: quadratic once nearly diagonal; a fixed sweep count (default
+chosen per m) reaches f64 machine precision for the sizes used here.
+"""
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["eigh_jacobi", "round_robin_pairs"]
+
+
+@lru_cache(maxsize=None)
+def round_robin_pairs(m: int) -> np.ndarray:
+    """Static round-robin schedule: pairs[r] lists m/2 disjoint (p, q) pairs
+    covering all indices, over m-1 rounds every unordered pair appears once.
+    m must be even (odd sizes are padded by the caller).
+    Returns int32 [m-1, 2, m/2]."""
+    assert m % 2 == 0
+    others = list(range(1, m))
+    rounds = []
+    for _ in range(m - 1):
+        lineup = [0] + others
+        top = lineup[: m // 2]
+        bot = lineup[m // 2 :][::-1]
+        rounds.append((top, bot))
+        others = others[1:] + others[:1]
+    arr = np.array(rounds, dtype=np.int32)  # [m-1, 2, m/2]
+    return arr
+
+
+def _default_sweeps(m: int) -> int:
+    # quadratic convergence: ~log2(m) + margin sweeps reach f64 precision
+    return int(np.clip(np.ceil(np.log2(max(m, 4))) + 6, 8, 16))
+
+
+@partial(jax.jit, static_argnames=("sweeps",))
+def _eigh_jacobi_impl(M: jax.Array, pairs: jax.Array, sweeps: int):
+    nb, m, _ = M.shape
+    dtype = M.dtype
+    V0 = jnp.broadcast_to(jnp.eye(m, dtype=dtype), (nb, m, m))
+
+    nrounds = pairs.shape[0]
+
+    def round_body(r, carry):
+        A, V = carry
+        p = pairs[r, 0]
+        q = pairs[r, 1]
+
+        app = A[:, p, p]  # [nb, m/2]
+        aqq = A[:, q, q]
+        apq = A[:, p, q]
+
+        # Givens rotation zeroing A[p,q]: tan via the stable formula.
+        # The rotate-or-not decision is made FIRST and the denominator is
+        # sanitized, so no inf/NaN is ever produced (the TPU f64 emulation
+        # does not reliably round-trip inf through where()).
+        eps = jnp.asarray(np.finfo(np.dtype(dtype)).eps, dtype)
+        active = jnp.abs(apq) > eps * 1e-3 * (jnp.abs(app) + jnp.abs(aqq) + 1.0)
+        apq_safe = jnp.where(active, apq, 1.0)
+        tau = (aqq - app) / (2.0 * apq_safe)
+        sgn = jnp.where(tau >= 0, 1.0, -1.0)
+        t = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        t = jnp.where(active, t, 0.0)
+        c = 1.0 / jnp.sqrt(1.0 + t * t)
+        s = t * c  # [nb, m/2]
+
+        # rows p, q:  A <- J^T A  with J acting on (p, q)
+        P = A[:, p, :]
+        Q = A[:, q, :]
+        cP = c[..., None]
+        sP = s[..., None]
+        A = A.at[:, p, :].set(cP * P - sP * Q)
+        A = A.at[:, q, :].set(sP * P + cP * Q)
+        # cols p, q:  A <- A J
+        P = A[:, :, p]
+        Q = A[:, :, q]
+        cC = c[:, None, :]
+        sC = s[:, None, :]
+        A = A.at[:, :, p].set(cC * P - sC * Q)
+        A = A.at[:, :, q].set(sC * P + cC * Q)
+        # eigenvector accumulation: V <- V J
+        P = V[:, :, p]
+        Q = V[:, :, q]
+        V = V.at[:, :, p].set(cC * P - sC * Q)
+        V = V.at[:, :, q].set(sC * P + cC * Q)
+        return A, V
+
+    def sweep_body(_, carry):
+        return jax.lax.fori_loop(0, nrounds, round_body, carry)
+
+    A, V = jax.lax.fori_loop(0, sweeps, sweep_body, (M, V0))
+
+    lam = jnp.diagonal(A, axis1=-2, axis2=-1)
+    order = jnp.argsort(lam, axis=-1)
+    lam = jnp.take_along_axis(lam, order, axis=-1)
+    V = jnp.take_along_axis(V, order[:, None, :], axis=-1)
+    return lam, V
+
+
+def eigh_jacobi(M: jax.Array, sweeps: int | None = None) -> Tuple[jax.Array, jax.Array]:
+    """Eigendecomposition of a batch of symmetric matrices [nb, m, m].
+
+    Returns (eigenvalues ascending [nb, m], eigenvectors [nb, m, m]) with
+    M = V diag(lam) V^T. Odd m is handled by an internal decoupled pad
+    index (zero off-diagonal coupling, sentinel diagonal sorted last).
+    """
+    nb, m, _ = M.shape
+    if sweeps is None:
+        sweeps = _default_sweeps(m)
+    if m % 2 != 0:
+        big = jnp.max(jnp.sum(jnp.abs(M), axis=-1)) + 1.0  # beyond the spectrum
+        Mp = jnp.zeros((nb, m + 1, m + 1), dtype=M.dtype)
+        Mp = Mp.at[:, :m, :m].set(M).at[:, m, m].set(big)
+        pairs = jnp.asarray(round_robin_pairs(m + 1))
+        lam, V = _eigh_jacobi_impl(Mp, pairs, sweeps)
+        return lam[:, :m], V[:, :m, :m]
+    pairs = jnp.asarray(round_robin_pairs(m))
+    return _eigh_jacobi_impl(M, pairs, sweeps)

@@ -22,9 +22,16 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .eigh import eigh_jacobi
 from .linalg import chol_reg, tri_solve, sym
 
 __all__ = ["NTScaling", "nt_scale", "lin_scale"]
+
+
+def _eigh(M: jax.Array, backend: str):
+    if backend == "jacobi":
+        return eigh_jacobi(M)
+    return jnp.linalg.eigh(M)
 
 
 class NTScaling(NamedTuple):
@@ -43,6 +50,7 @@ def nt_scale(
     reg_eps: float = 1e-5,
     max_reg: int = 1000,
     method: str = "eigh",
+    eigh_backend: str = "jacobi",
 ) -> NTScaling:
     """Compute the NT scaling for a stacked group of blocks [nb, m, m].
 
@@ -69,7 +77,7 @@ def nt_scale(
     else:
         # eig(L_x^T S L_x) = V D^2 V^T with the same V as svd(L_s^T L_x)
         M = jnp.swapaxes(Lx, -1, -2) @ S @ Lx
-        lam, V = jnp.linalg.eigh(sym(M))
+        lam, V = _eigh(sym(M), eigh_backend)
         D = jnp.sqrt(jnp.maximum(lam, 1e-300))
 
     d_isqrt = 1.0 / jnp.sqrt(D)

@@ -28,9 +28,16 @@ import jax
 import jax.numpy as jnp
 
 from ..problem import BlockGroup, SDPProblem
+from .eigh import eigh_jacobi
 from .linalg import chol_reg, cho_solve, sym
 from .nt_scaling import NTScaling
 from .schur import Aadj, Aop
+
+
+def _eigh(M: jax.Array, backend: str):
+    if backend == "jacobi":
+        return eigh_jacobi(M)
+    return jnp.linalg.eigh(M)
 
 __all__ = ["BetaPrecond", "AlphaPrecond", "prep_beta", "prep_alpha"]
 
@@ -58,12 +65,13 @@ def prep_beta(
     lpw: Optional[jax.Array],
     erank: int,
     aamat: int,
+    eigh_backend: str = "jacobi",
 ) -> BetaPrecond:
     dtype = problem.b.dtype
     s = jnp.zeros((), dtype=dtype)
     for g, nt in zip(problem.groups, nts):
         k = min(erank, g.m - 1)
-        lam = jnp.linalg.eigvalsh(nt.W)  # [nb, m] ascending
+        lam, _ = _eigh(nt.W, eigh_backend)  # [nb, m] ascending
         tt = _ttau(lam[:, : g.m - k], aamat)
         s = s + jnp.sum(tt**2)
     diag = jnp.full((problem.n,), 1.0, dtype=dtype) * s
@@ -112,6 +120,7 @@ def prep_alpha(
     lpw: Optional[jax.Array],
     erank: int,
     aamat: int,
+    eigh_backend: str = "jacobi",
 ) -> AlphaPrecond:
     dtype = problem.b.dtype
     Us: List[jax.Array] = []
@@ -122,7 +131,7 @@ def prep_alpha(
     for g, nt in zip(problem.groups, nts):
         m = g.m
         k = min(erank, m - 1)
-        lam, V = jnp.linalg.eigh(nt.W)  # ascending
+        lam, V = _eigh(nt.W, eigh_backend)  # ascending
         lam_s, lam_l = lam[:, : m - k], lam[:, m - k :]
         V_l = V[:, :, m - k :]
         tt = _ttau(lam_s, aamat)  # [nb]
