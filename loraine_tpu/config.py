@@ -73,9 +73,10 @@ class Options:
     profile_dir: str = ""  # capture a jax.profiler trace of the solve
     nt_method: str = "eigh"  # 'eigh' (no SVD codepath) or 'svd' (reference)
     # 'jacobi': in-house parallel-Jacobi eigensolver (compiles in seconds at
-    # any size); 'xla': QDWH (fastest runtime, minutes of compile per shape
-    # on remote TPU backends)
-    eigh_backend: str = "jacobi"
+    # any size, runtime grows with m); 'xla': QDWH (ms runtime, minutes of
+    # one-time compile per shape on remote TPU backends — absorbed by the
+    # persistent cache); 'auto': jacobi below m=192, xla above
+    eigh_backend: str = "auto"
 
     def validated(self) -> "Options":
         """Range-check options, auto-correcting out-of-range values with a
@@ -108,8 +109,10 @@ class Options:
             raise ValueError(f"nt_method must be 'eigh' or 'svd', got {o.nt_method!r}")
         if o.step_eig not in ("exact", "chol"):
             raise ValueError(f"step_eig must be 'exact' or 'chol', got {o.step_eig!r}")
-        if o.eigh_backend not in ("jacobi", "xla"):
-            raise ValueError(f"eigh_backend must be 'jacobi' or 'xla', got {o.eigh_backend!r}")
+        if o.eigh_backend not in ("jacobi", "xla", "auto"):
+            raise ValueError(
+                f"eigh_backend must be 'jacobi', 'xla', or 'auto', got {o.eigh_backend!r}"
+            )
         if o.pad_multiple < 1:
             o.pad_multiple = 1
         return o

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from ..config import Options
 from ..problem import SDPProblem
 from ..ops.cg import pcg
-from ..ops.eigh import eigh_jacobi
+from ..ops.eigh import eigh_backend_for, eigh_jacobi
 from ..ops.linalg import btrace, chol_reg, cho_solve, eigmin, eigmin_chol, sym
 from ..ops.nt_scaling import NTScaling, nt_scale
 from ..ops.precond import prep_alpha, prep_beta
@@ -125,12 +125,27 @@ def build_step(opts: Options, precond_kind: int):
     `src/Solvers.jl:339-347` rebuilds the step once at the switch).
     """
     kit = opts.kit
-    if opts.step_eig == "chol":
-        eigmin_fn = eigmin_chol
-    elif opts.eigh_backend == "jacobi":
-        eigmin_fn = lambda M: eigh_jacobi(M)[0][..., 0]
-    else:
-        eigmin_fn = eigmin
+
+    def eigmin_fn(M):
+        if opts.step_eig == "chol":
+            return eigmin_chol(M)
+        if eigh_backend_for(opts.eigh_backend, M.shape[-1]) == "jacobi":
+            return eigh_jacobi(M)[0][..., 0]
+        return eigmin(M)
+
+    def psd_violation(M):
+        """max(0, -lambda_min) for the DIMACS err2/err4 terms: exactly 0
+        when M is PD (one Cholesky), Gershgorin magnitude otherwise —
+        iterates stay strictly feasible, so the exact-eig path would
+        return 0 anyway except during numerical breakdown."""
+        L = jnp.linalg.cholesky(M)
+        pd = jnp.logical_not(jnp.isnan(L).any(axis=(-1, -2)))
+        gersh = jnp.min(
+            jnp.diagonal(M, axis1=-2, axis2=-1)
+            - (jnp.sum(jnp.abs(M), axis=-1) - jnp.abs(jnp.diagonal(M, axis1=-2, axis2=-1))),
+            axis=-1,
+        )
+        return jnp.where(pd, 0.0, jnp.maximum(0.0, -gersh))
 
     def step(problem: SDPProblem, st: IPMState, tol_cg: jax.Array):
         dtype = problem.b.dtype
@@ -332,13 +347,13 @@ def build_step(opts: Options, precond_kind: int):
         trCX = jnp.zeros((), dtype=dtype)
         for g, X, S, Rd in zip(problem.groups, X_new, S_new, Rds):
             normC = jnp.sqrt(jnp.sum(g.C**2, axis=(-1, -2)))  # [nb]
-            ev = eigmin_fn(jnp.concatenate([X, S], axis=0))  # one batched eigmin
-            evX, evS = ev[: X.shape[0]], ev[X.shape[0] :]
-            err2 = err2 + jnp.sum(jnp.maximum(0.0, -evX) / (1.0 + normb))
+            viol = psd_violation(jnp.concatenate([X, S], axis=0))
+            violX, violS = viol[: X.shape[0]], viol[X.shape[0] :]
+            err2 = err2 + jnp.sum(violX / (1.0 + normb))
             err3 = err3 + jnp.sum(
                 jnp.sqrt(jnp.sum(Rd**2, axis=(-1, -2))) / (1.0 + normC)
             )
-            err4 = err4 + jnp.sum(jnp.maximum(0.0, -evS) / (1.0 + normC))
+            err4 = err4 + jnp.sum(violS / (1.0 + normC))
             CX = jnp.einsum("bpq,bpq->b", g.C, X)
             trCX = trCX + jnp.sum(CX)
             SX = jnp.einsum("bpq,bpq->b", S, X)

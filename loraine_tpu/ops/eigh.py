@@ -30,7 +30,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["eigh_jacobi", "round_robin_pairs"]
+__all__ = ["eigh_jacobi", "round_robin_pairs", "eigh_backend_for", "AUTO_XLA_MIN_M"]
+
+# 'auto' backend policy: below this block size the Jacobi solver wins
+# (compile seconds, runtime tens of ms); at or above it the XLA QDWH
+# runtime (ms) beats Jacobi's O(m) sequential rotation rounds, and its
+# large one-time compile is amortized by the persistent compilation cache.
+AUTO_XLA_MIN_M = 192
+
+
+def eigh_backend_for(backend: str, m: int) -> str:
+    if backend == "auto":
+        return "xla" if m >= AUTO_XLA_MIN_M else "jacobi"
+    return backend
 
 
 @lru_cache(maxsize=None)

@@ -22,14 +22,14 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .eigh import eigh_jacobi
+from .eigh import eigh_backend_for, eigh_jacobi
 from .linalg import chol_reg, tri_solve, sym
 
 __all__ = ["NTScaling", "nt_scale", "lin_scale"]
 
 
 def _eigh(M: jax.Array, backend: str):
-    if backend == "jacobi":
+    if eigh_backend_for(backend, M.shape[-1]) == "jacobi":
         return eigh_jacobi(M)
     return jnp.linalg.eigh(M)
 

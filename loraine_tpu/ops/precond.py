@@ -28,14 +28,14 @@ import jax
 import jax.numpy as jnp
 
 from ..problem import BlockGroup, SDPProblem
-from .eigh import eigh_jacobi
+from .eigh import eigh_backend_for, eigh_jacobi
 from .linalg import chol_reg, cho_solve, sym
 from .nt_scaling import NTScaling
 from .schur import Aadj, Aop
 
 
 def _eigh(M: jax.Array, backend: str):
-    if backend == "jacobi":
+    if eigh_backend_for(backend, M.shape[-1]) == "jacobi":
         return eigh_jacobi(M)
     return jnp.linalg.eigh(M)
 
