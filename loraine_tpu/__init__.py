@@ -57,6 +57,7 @@ from . import modeling
 from .config import Options, DEFAULT_OPTIONS
 from .io.sdpa import SDPAData, read_sdpa, write_sdpa
 from .problem import BlockGroup, SDPProblem, problem_from_dense, problem_from_sdpa
+from .ipm.admm import ADMMResult, solve_admm
 from .ipm.solver import Result, Solver, solve, solve_sdpa
 from .ipm.state import IPMState
 from .utils.checkpoint import load_state, save_state
@@ -78,6 +79,8 @@ __all__ = [
     "Solver",
     "solve",
     "solve_sdpa",
+    "solve_admm",
+    "ADMMResult",
     "IPMState",
     "save_state",
     "load_state",
