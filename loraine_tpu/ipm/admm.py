@@ -17,14 +17,12 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from functools import partial
-from typing import Any, Dict, List, Optional, Tuple, Union
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import Options
 from ..ops.eigh import eigh_backend_for, eigh_jacobi
 from ..ops.linalg import chol_reg, cho_solve, sym
 from ..ops.schur import Aadj, Aop, schur_group, schur_lp

@@ -25,7 +25,7 @@ from ..config import Options
 from ..problem import SDPProblem, problem_from_sdpa
 from ..utils.timers import PhaseTimer
 from .initial import initial_point
-from .state import IPMState, StepStats
+from .state import IPMState
 from .step import jitted_step
 
 __all__ = ["Result", "Solver", "solve", "solve_sdpa"]

@@ -15,7 +15,6 @@ err2/4/5/6 use the updated iterate — this keeps iteration counts comparable.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax

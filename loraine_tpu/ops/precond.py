@@ -22,12 +22,12 @@ dense A (the reference's `prec_alpha_S!` fast formula, `src/Solvers.jl:
 """
 from __future__ import annotations
 
-from typing import Callable, List, NamedTuple, Optional, Tuple
+from typing import List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from ..problem import BlockGroup, SDPProblem
+from ..problem import SDPProblem
 from .eigh import eigh_backend_for, eigh_jacobi
 from .linalg import chol_reg, cho_solve, sym
 from .nt_scaling import NTScaling

@@ -25,8 +25,6 @@ used for residuals, the matrix-free CG operator (`MyA`,
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
