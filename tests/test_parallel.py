@@ -62,3 +62,27 @@ def test_auto_mesh_shape():
     problem = _multiblock_problem()
     mesh = auto_mesh(problem)
     assert mesh.shape["blocks"] * mesh.shape["schur"] == len(jax.devices())
+
+
+def test_sharded_sparse_storage_matches():
+    rng = np.random.default_rng(4)
+    nb, n, m = 4, 16, 8
+    As = []
+    for _ in range(nb):
+        A = np.zeros((n, m, m))
+        for j in range(n):
+            r, c = rng.integers(0, m, 2)
+            v = rng.standard_normal()
+            A[j, r, c] += v
+            A[j, c, r] += v * (r != c)
+        As.append(A)
+    Cs = [np.eye(m) * (m + i) for i in range(nb)]
+    b = rng.standard_normal(n)
+    problem = lt.problem_from_dense(As, Cs, b, storage="sparse")
+    assert all(g.is_sparse for g in problem.groups)
+
+    res_ref = lt.solve(problem, {"kit": 0, "eDIMACS": 1e-7, "verb": 0})
+    mesh = make_mesh((2, 4))
+    res_sh = lt.solve(shard_problem(problem, mesh), {"kit": 0, "eDIMACS": 1e-7, "verb": 0})
+    assert res_ref.status == res_sh.status == 1
+    np.testing.assert_allclose(res_sh.objective, res_ref.objective, rtol=1e-8)
