@@ -129,7 +129,10 @@ def build_step(opts: Options, precond_kind: int):
         if opts.step_eig == "chol":
             return eigmin_chol(M)
         if eigh_backend_for(opts.eigh_backend, M.shape[-1]) == "jacobi":
-            return eigh_jacobi(M)[0][..., 0]
+            # lambda_min needs ~1e-9 relative, reached in 7 sweeps (full
+            # eigenvector accuracy needs the default count) — halves the
+            # dominant sequential-rounds cost of the steplength phase
+            return eigh_jacobi(M, sweeps=7)[0][..., 0]
         return eigmin(M)
 
     def psd_violation(M):
