@@ -205,10 +205,19 @@ def build_step(opts: Options, precond_kind: int):
                 H = H + schur_group(g, nt.W, nt.G)
             if nlin:
                 H = H + schur_lp(problem.C_lin, lpw)
-            hc = chol_reg(sym(H), 1e-4, 1000)
+            Hs = sym(H)
+            hc = chol_reg(Hs, 1e-4, 1000)
             h_shifts, h_ok = hc.shifts, hc.ok
-            dely = cho_solve(hc.L, h)
-            solve2 = lambda rhs: cho_solve(hc.L, rhs)
+
+            def solve2(rhs):
+                # one step of iterative refinement (the reference carries
+                # this commented out at src/predictor_corrector.jl:98-115);
+                # costs one n^2 matvec and buys ~3 digits near convergence
+                x = cho_solve(hc.L, rhs)
+                r = rhs - Hs @ x
+                return x + cho_solve(hc.L, r)
+
+            dely = solve2(h)
         else:
             def matvec(x):
                 r = jnp.zeros_like(x)
