@@ -67,11 +67,21 @@ def bench_case(name, path, opts):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true", help="run extra cases")
+    ap.add_argument(
+        "--budget", type=float, default=3600.0,
+        help="wall-clock budget (s); remaining cases are skipped once "
+        "exceeded (first-time XLA compiles through the TPU tunnel can cost "
+        "tens of minutes before the persistent cache is populated)",
+    )
     args = ap.parse_args()
 
     cases = CASES + (EXTRA_CASES if args.full else [])
     rates = []
+    t_start = time.time()
     for name, path, opts in cases:
+        if time.time() - t_start > args.budget:
+            print(f"# budget exceeded, skipping {name}", file=sys.stderr)
+            continue
         try:
             ips, _ = bench_case(name, path, opts)
             rates.append(ips)
