@@ -39,6 +39,17 @@ STATUS_NAMES = {
 }
 
 
+def _fetch(x) -> np.ndarray:
+    """device->host fetch that also works for arrays sharded across
+    processes (multi-host runs): such arrays are reassembled with a
+    process allgather."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(jax.device_get(x))
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 @dataclasses.dataclass
 class Result:
     """Solution container (reference result surface:
@@ -272,24 +283,24 @@ class Solver:
         Xb: List[Optional[np.ndarray]] = [None] * nblocks
         Sb: List[Optional[np.ndarray]] = [None] * nblocks
         for g, Xg, Sg in zip(p.groups, state.X, state.S):
-            Xh = np.asarray(jax.device_get(Xg))
-            Sh = np.asarray(jax.device_get(Sg))
+            Xh = _fetch(Xg)
+            Sh = _fetch(Sg)
             for bpos, (oidx, osize) in enumerate(zip(g.orig_indices, g.orig_sizes)):
                 Xb[oidx] = Xh[bpos, :osize, :osize]
                 Sb[oidx] = Sh[bpos, :osize, :osize]
-        y = np.asarray(jax.device_get(state.y))
-        X_lin = None if state.X_lin is None else np.asarray(jax.device_get(state.X_lin))
+        y = _fetch(state.y)
+        X_lin = None if state.X_lin is None else _fetch(state.X_lin)
 
         # host-side arithmetic: avoids eager device programs (slow tunnel
         # compiles on TPU)
         trCX = 0.0
         for g, Xg, Sg in zip(p.groups, state.X, state.S):
-            Ch = np.asarray(jax.device_get(g.C))
-            Xh = np.asarray(jax.device_get(Xg))
+            Ch = _fetch(g.C)
+            Xh = _fetch(Xg)
             trCX += float(np.sum(Ch * Xh))
         dual_obj = -trCX
         if p.nlin > 0:
-            dual_obj -= float(np.dot(np.asarray(jax.device_get(p.d_lin)), X_lin))
+            dual_obj -= float(np.dot(_fetch(p.d_lin), X_lin))
 
         return Result(
             status=status,
