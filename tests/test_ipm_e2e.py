@@ -60,6 +60,16 @@ def test_tru3_direct(data_dir):
     assert res.dimacs < 1e-7
 
 
+def test_vib3_direct(data_dir):
+    # two PSD blocks of different sizes + LP cone
+    res = lt.solve_sdpa(
+        str(data_dir / "vib3.dat-s"),
+        {"kit": 0, "eDIMACS": 1e-6, "initpoint": 1, "verb": 0},
+    )
+    assert res.status == 1
+    np.testing.assert_allclose(res.objective, 0.1027087, rtol=1e-4)
+
+
 def test_primal_dual_gap_small(data_dir):
     res = lt.solve_sdpa(
         str(data_dir / "theta1.dat-s"),
