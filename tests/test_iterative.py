@@ -111,3 +111,27 @@ def test_erank_larger_than_block():
         res = lt.solve(prob, {"kit": 1, "erank": 20, "eDIMACS": 1e-7, "verb": 0})
     assert res.status == 1
     assert res.cg_iterations == 0  # solved on the direct path
+
+
+def test_alpha_erank_2():
+    # erank > 1 exercises the multi-column SMW path (the reference's k>1
+    # "slow formula", src/Solvers.jl:752-767)
+    from loraine_tpu.models import maxcut_problem
+
+    W = np.zeros((10, 10))
+    for i in range(5):
+        for j in range(5, 10):
+            W[i, j] = W[j, i] = 1.0 + 0.1 * ((i + j) % 3)
+    prob = maxcut_problem(W)
+    res1 = lt.solve(
+        prob,
+        {"kit": 1, "preconditioner": 1, "erank": 1, "eDIMACS": 1e-6,
+         "tol_cg_min": 1e-6, "initpoint": 1, "verb": 0},
+    )
+    res2 = lt.solve(
+        prob,
+        {"kit": 1, "preconditioner": 1, "erank": 2, "eDIMACS": 1e-6,
+         "tol_cg_min": 1e-6, "initpoint": 1, "verb": 0},
+    )
+    assert res1.status == 1 and res2.status == 1
+    np.testing.assert_allclose(res2.objective, res1.objective, rtol=1e-5)
