@@ -71,6 +71,7 @@ class Result:
     iteration_times: List[float]
     timer: PhaseTimer
     final_state: Optional[IPMState] = None  # for warm-start / checkpointing
+    history: Optional[List[Dict[str, float]]] = None  # per-iteration stats
 
 
 class Solver:
@@ -177,6 +178,7 @@ class Solver:
         cg_tot = 0
         stats_h: Dict[str, float] = {}
         iteration_times: List[float] = []
+        history: List[Dict[str, float]] = []
         dtype = p.b.dtype
 
         while status == 0:
@@ -199,6 +201,7 @@ class Solver:
                 "cg_pre": int(stats.cg_iter_pre), "cg_cor": int(stats.cg_iter_cor),
             }
             cg_tot += stats_h["cg_pre"] + stats_h["cg_cor"]
+            history.append(dict(stats_h))
 
             # numerical failure handling (reference regularization/give-up
             # semantics, src/predictor_corrector.jl:55-97, src/prepare_W.jl:5-26)
@@ -270,6 +273,7 @@ class Solver:
                 print(f" *** Optimal solution found in {solve_time:8.2f} seconds")
 
         result = self._extract(state, stats_h, status, it, cg_tot, solve_time, iteration_times)
+        result.history = history
         if o.verb > 0 and status == 1:
             print(f"Primal objective: {result.objective}")
             print(f"Dual objective:   {result.dual_objective}")
