@@ -73,9 +73,10 @@ class Options:
     profile_dir: str = ""  # capture a jax.profiler trace of the solve
     nt_method: str = "eigh"  # 'eigh' (no SVD codepath) or 'svd' (reference)
     # 'jacobi': in-house parallel-Jacobi eigensolver (compiles in seconds at
-    # any size, runtime grows with m); 'xla': QDWH (ms runtime, minutes of
-    # one-time compile per shape on remote TPU backends — absorbed by the
-    # persistent cache); 'auto': jacobi below m=192, xla above
+    # any size, runtime grows with m); 'mixed': f32 QDWH seed + f64
+    # GEMM-only refinement (fast at large m, one f32-QDWH compile);
+    # 'xla': pure-f64 QDWH (~10 s/call at m~800 on TPU);
+    # 'auto': jacobi below m=192, mixed above
     eigh_backend: str = "auto"
 
     def validated(self) -> "Options":
@@ -109,9 +110,10 @@ class Options:
             raise ValueError(f"nt_method must be 'eigh' or 'svd', got {o.nt_method!r}")
         if o.step_eig not in ("exact", "chol"):
             raise ValueError(f"step_eig must be 'exact' or 'chol', got {o.step_eig!r}")
-        if o.eigh_backend not in ("jacobi", "xla", "auto"):
+        if o.eigh_backend not in ("jacobi", "mixed", "xla", "auto"):
             raise ValueError(
-                f"eigh_backend must be 'jacobi', 'xla', or 'auto', got {o.eigh_backend!r}"
+                "eigh_backend must be 'jacobi', 'mixed', 'xla', or 'auto', "
+                f"got {o.eigh_backend!r}"
             )
         if o.pad_multiple < 1:
             o.pad_multiple = 1

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..config import Options
 from ..problem import SDPProblem
 from ..ops.cg import pcg
-from ..ops.eigh import eigh_backend_for, eigh_jacobi
+from ..ops.eigh import eigh_backend_for, eigh_jacobi, eigh_mixed
 from ..ops.linalg import btrace, chol_reg, cho_solve, eigmin, eigmin_chol, sym
 from ..ops.nt_scaling import NTScaling, nt_scale
 from ..ops.precond import prep_alpha, prep_beta
@@ -128,11 +128,14 @@ def build_step(opts: Options, precond_kind: int):
     def eigmin_fn(M):
         if opts.step_eig == "chol":
             return eigmin_chol(M)
-        if eigh_backend_for(opts.eigh_backend, M.shape[-1]) == "jacobi":
+        resolved = eigh_backend_for(opts.eigh_backend, M.shape[-1])
+        if resolved == "jacobi":
             # lambda_min needs ~1e-9 relative, reached in 7 sweeps (full
             # eigenvector accuracy needs the default count) — halves the
             # dominant sequential-rounds cost of the steplength phase
             return eigh_jacobi(M, sweeps=7)[0][..., 0]
+        if resolved == "mixed":
+            return eigh_mixed(M, refine_iters=1)[0][..., 0]
         return eigmin(M)
 
     def psd_violation(M):

@@ -22,15 +22,18 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .eigh import eigh_backend_for, eigh_jacobi
+from .eigh import eigh_backend_for, eigh_jacobi, eigh_mixed
 from .linalg import chol_reg, tri_solve, sym
 
 __all__ = ["NTScaling", "nt_scale", "lin_scale"]
 
 
 def _eigh(M: jax.Array, backend: str):
-    if eigh_backend_for(backend, M.shape[-1]) == "jacobi":
+    resolved = eigh_backend_for(backend, M.shape[-1])
+    if resolved == "jacobi":
         return eigh_jacobi(M)
+    if resolved == "mixed":
+        return eigh_mixed(M)
     return jnp.linalg.eigh(M)
 
 

@@ -28,15 +28,18 @@ import jax
 import jax.numpy as jnp
 
 from ..problem import SDPProblem
-from .eigh import eigh_backend_for, eigh_jacobi
+from .eigh import eigh_backend_for, eigh_jacobi, eigh_mixed
 from .linalg import chol_reg, cho_solve, sym
 from .nt_scaling import NTScaling
 from .schur import Aadj, Aop
 
 
 def _eigh(M: jax.Array, backend: str):
-    if eigh_backend_for(backend, M.shape[-1]) == "jacobi":
+    resolved = eigh_backend_for(backend, M.shape[-1])
+    if resolved == "jacobi":
         return eigh_jacobi(M)
+    if resolved == "mixed":
+        return eigh_mixed(M)
     return jnp.linalg.eigh(M)
 
 __all__ = ["BetaPrecond", "AlphaPrecond", "prep_beta", "prep_alpha"]
