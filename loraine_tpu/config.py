@@ -78,6 +78,14 @@ class Options:
     # 'xla': pure-f64 QDWH (~10 s/call at m~800 on TPU);
     # 'auto': jacobi below m=192, mixed above
     eigh_backend: str = "auto"
+    # High-precision mode (the reference's MultiFloats Float64xN equivalent,
+    # `README.md:37-54`): 'f64' plain float64; 'dd' double-double — Schur
+    # assembly, RHS/residual contractions, and Schur-solve iterative
+    # refinement run in ~2x working precision via error-free transforms and
+    # Ozaki-scheme sliced GEMMs (ops/dd.py, ops/ozaki.py). Direct solver
+    # (kit=0) only; pushes the attainable DIMACS floor ~2-3 digits below
+    # plain f64 at a constant-factor FLOP cost (all GEMM-shaped).
+    precision: str = "f64"
 
     def validated(self) -> "Options":
         """Range-check options, auto-correcting out-of-range values with a
@@ -115,6 +123,13 @@ class Options:
                 "eigh_backend must be 'jacobi', 'mixed', 'xla', or 'auto', "
                 f"got {o.eigh_backend!r}"
             )
+        if o.precision not in ("f64", "dd"):
+            raise ValueError(f"precision must be 'f64' or 'dd', got {o.precision!r}")
+        if o.precision == "dd" and o.kit == 1:
+            o.kit = 0
+            _warn("precision='dd' requires the direct solver, setting kit = 0")
+        if o.precision == "dd" and o.dtype != "float64":
+            raise ValueError("precision='dd' requires dtype='float64'")
         if o.pad_multiple < 1:
             o.pad_multiple = 1
         return o

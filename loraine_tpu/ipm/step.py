@@ -23,11 +23,21 @@ import jax.numpy as jnp
 from ..config import Options
 from ..problem import SDPProblem
 from ..ops.cg import pcg
+from ..ops.dd import DD, dd_add, dd_neg, dd_sum, dd_to_f64, two_prod, two_sum
 from ..ops.eigh import eigh_backend_for, eigh_jacobi, eigh_mixed
 from ..ops.linalg import btrace, chol_reg, cho_solve, eigmin, eigmin_chol, sym
 from ..ops.nt_scaling import NTScaling, nt_scale
+from ..ops.ozaki import acc_matmul, acc_matvec
 from ..ops.precond import prep_alpha, prep_beta
-from ..ops.schur import Aadj, Aop, lp_weight, schur_group, schur_lp
+from ..ops.schur import (
+    Aadj,
+    Aop,
+    Aop_dd,
+    lp_weight,
+    schur_group,
+    schur_group_dd,
+    schur_lp,
+)
 from .initial import EXPON, TAU
 from .state import IPMState, StepStats
 
@@ -45,6 +55,32 @@ def _steplen(ev: jax.Array) -> jax.Array:
 def _safe_pow(base: jax.Array, expo: jax.Array) -> jax.Array:
     b = jnp.maximum(base, 1e-300)
     return jnp.exp(expo * jnp.log(b))
+
+
+# ---- double-double helpers (precision='dd' mode; ops/dd.py, ops/ozaki.py)
+
+
+def _dd0(x: jax.Array) -> DD:
+    return DD(x, jnp.zeros_like(x))
+
+
+def _sandwich_dd(L: jax.Array, M: jax.Array, R: jax.Array) -> DD:
+    """L M R in dd for batched [nb, m, m] operands (Ozaki GEMMs + lo-part
+    f64 correction)."""
+    T1 = acc_matmul(L, M)
+    T = acc_matmul(T1.hi, R)
+    s = two_sum(T.hi, T1.lo @ R)
+    return DD(s.hi, s.lo + T.lo)
+
+
+def _trace_dot_dd(A: jax.Array, B: jax.Array) -> DD:
+    """sum over all entries of A * B in dd (batched trace inner product)."""
+    p = two_prod(A.reshape(-1), B.reshape(-1))
+    return dd_sum(p)
+
+
+def _dd_dot(a: jax.Array, b: jax.Array) -> DD:
+    return dd_sum(two_prod(a, b))
 
 
 class _GroupDirs(NamedTuple):
@@ -65,16 +101,33 @@ def _group_dirs(
     sig_mu: Optional[jax.Array] = None,
     RNT: Optional[jax.Array] = None,
     eigmin_fn=eigmin,
+    dd_mode: bool = False,
+    T_dd=None,
+    U_dd=None,
 ) -> _GroupDirs:
     """Directions and per-block steplengths (`find_step`,
     `src/predictor_corrector.jl:248-293`)."""
     GT = jnp.swapaxes(nt.G, -1, -2)
     delS = Rd - Aadj(g, dely)
-    Xi = nt.W @ delS @ nt.W
-    if predict:
-        delX = sym(-X - Xi)
+    if dd_mode:
+        # Feasibility-exact dd directions. The Newton identity
+        # A(delX) = Rp needs W S W == X and S^-1 == G D^-1 G^T EXACTLY;
+        # in f64 they hold only to u*||W||^2 (||W|| ~ mu^-1/2 near
+        # convergence) — THE f64 DIMACS-floor driver. Using the SAME
+        # computed T = W(Rd+S)W (and corrector U = G[sig*mu/D + RNT]G^T)
+        # in both the RHS and the direction makes the cancellation exact
+        # by construction:  delX = -T + W Aadj(dely) W (+ U).
+        WAW = _sandwich_dd(nt.W, Aadj(g, dely), nt.W)
+        acc = dd_add(dd_neg(T_dd), WAW)
+        if not predict:
+            acc = dd_add(acc, U_dd)
+        delX = sym(dd_to_f64(acc))
     else:
-        delX = sym(sig_mu * nt.Si - X - Xi + nt.G @ RNT @ GT)
+        Xi = nt.W @ delS @ nt.W
+        if predict:
+            delX = sym(-X - Xi)
+        else:
+            delX = sym(sig_mu * nt.Si - X - Xi + nt.G @ RNT @ GT)
 
     delSb = GT @ delS @ nt.G
     delXb = nt.Gi @ delX @ jnp.swapaxes(nt.Gi, -1, -2)
@@ -124,6 +177,10 @@ def build_step(opts: Options, precond_kind: int):
     `src/Solvers.jl:339-347` rebuilds the step once at the switch).
     """
     kit = opts.kit
+    # high-precision mode: Schur assembly, RHS contractions, and the Schur
+    # solve's iterative refinement run in double-double (validated() forces
+    # kit=0 for it); the TPU-native stand-in for MultiFloats Float64xN
+    dd_mode = opts.precision == "dd" and kit == 0
 
     def eigmin_fn(M):
         if opts.step_eig == "chol":
@@ -180,22 +237,48 @@ def build_step(opts: Options, precond_kind: int):
         lpw = lp_weight(st.X_lin, Si_lin) if nlin else None
 
         # ---- residuals (`predictor`, src/predictor_corrector.jl:8-22)
-        Rp = problem.b
-        for g, X in zip(problem.groups, st.X):
-            Rp = Rp - Aop(g, X)
-        if nlin:
-            Rp = Rp - problem.C_lin @ st.X_lin
+        if dd_mode:
+            Rp_dd = _dd0(problem.b)
+            for g, X in zip(problem.groups, st.X):
+                Rp_dd = dd_add(Rp_dd, dd_neg(Aop_dd(g, X)))
+            if nlin:
+                lin = acc_matvec(problem.C_lin, st.X_lin)
+                Rp_dd = dd_add(Rp_dd, dd_neg(lin))
+            Rp = dd_to_f64(Rp_dd)
+        else:
+            Rp = problem.b
+            for g, X in zip(problem.groups, st.X):
+                Rp = Rp - Aop(g, X)
+            if nlin:
+                Rp = Rp - problem.C_lin @ st.X_lin
         Rds = tuple(
             sym(g.C - S - Aadj(g, st.y)) for g, S in zip(problem.groups, st.S)
         )
         Rd_lin = (problem.d_lin - st.S_lin - problem.C_lin.T @ st.y) if nlin else None
 
         # ---- predictor RHS (`makeRHS`, src/makeBBBB.jl:221-228)
-        h = Rp
-        for g, nt, Rd, S in zip(problem.groups, nts, Rds, st.S):
-            h = h + Aop(g, nt.W @ (Rd + S) @ nt.W)
-        if nlin:
-            h = h + problem.C_lin @ (lpw * Rd_lin + st.X_lin)
+        if dd_mode:
+            # T = W (Rd + S) W per group, in dd — reused VERBATIM in the
+            # direction formula so the feasibility identity cancels exactly
+            T_dds = tuple(
+                _sandwich_dd(nt.W, Rd + S, nt.W)
+                for nt, Rd, S in zip(nts, Rds, st.S)
+            )
+            h_dd = Rp_dd
+            for g, T in zip(problem.groups, T_dds):
+                h_dd = dd_add(h_dd, Aop_dd(g, T.hi, T.lo))
+            if nlin:
+                h_dd = dd_add(
+                    h_dd, acc_matvec(problem.C_lin, lpw * Rd_lin + st.X_lin)
+                )
+            h = dd_to_f64(h_dd)
+        else:
+            T_dds = (None,) * ngroups
+            h = Rp
+            for g, nt, Rd, S in zip(problem.groups, nts, Rds, st.S):
+                h = h + Aop(g, nt.W @ (Rd + S) @ nt.W)
+            if nlin:
+                h = h + problem.C_lin @ (lpw * Rd_lin + st.X_lin)
 
         # ---- predictor solve
         h_shifts = jnp.int32(0)
@@ -203,24 +286,55 @@ def build_step(opts: Options, precond_kind: int):
         cg_pre = jnp.int32(0)
         cg_cor = jnp.int32(0)
         if kit == 0:
-            H = jnp.zeros((problem.n, problem.n), dtype=dtype)
-            for g, nt in zip(problem.groups, nts):
-                H = H + schur_group(g, nt.W, nt.G)
-            if nlin:
-                H = H + schur_lp(problem.C_lin, lpw)
-            Hs = sym(H)
+            if dd_mode:
+                zero_n = jnp.zeros((problem.n, problem.n), dtype=dtype)
+                H_dd = DD(zero_n, zero_n)
+                for g, nt in zip(problem.groups, nts):
+                    H_dd = dd_add(H_dd, schur_group_dd(g, nt.W, nt.G))
+                if nlin:
+                    H_dd = dd_add(H_dd, _dd0(schur_lp(problem.C_lin, lpw)))
+                Hs_dd = DD(sym(H_dd.hi), sym(H_dd.lo))
+                Hs = Hs_dd.hi
+            else:
+                H = jnp.zeros((problem.n, problem.n), dtype=dtype)
+                for g, nt in zip(problem.groups, nts):
+                    H = H + schur_group(g, nt.W, nt.G)
+                if nlin:
+                    H = H + schur_lp(problem.C_lin, lpw)
+                Hs = sym(H)
+            # absolute 1e-4 shift, reference semantics
+            # (`src/predictor_corrector.jl:74`). Relative (diag-scaled)
+            # variants were measured WORSE on badly-scaled problems (tru9:
+            # stall at 1.4e-7 with 1e-4 absolute vs 4e-6 with a clamped
+            # relative shift); sub-f64 floors are precision='dd' territory.
             hc = chol_reg(Hs, 1e-4, 1000)
             h_shifts, h_ok = hc.shifts, hc.ok
 
-            def solve2(rhs):
-                # one step of iterative refinement (the reference carries
-                # this commented out at src/predictor_corrector.jl:98-115);
-                # costs one n^2 matvec and buys ~3 digits near convergence
-                x = cho_solve(hc.L, rhs)
-                r = rhs - Hs @ x
-                return x + cho_solve(hc.L, r)
+            if dd_mode:
+                def solve2(rhs_dd):
+                    # mixed-precision iterative refinement: f64 factorization
+                    # + double-double residuals -> forward error ~u instead
+                    # of u*cond(H) (cond(H) ~ 1/mu^2 near convergence)
+                    x = cho_solve(hc.L, rhs_dd.hi)
+                    for _ in range(3):
+                        Hx = acc_matvec(Hs_dd.hi, x)
+                        s = two_sum(Hx.hi, Hs_dd.lo @ x)
+                        Hx = DD(s.hi, s.lo + Hx.lo)
+                        r = dd_add(rhs_dd, dd_neg(Hx))
+                        x = x + cho_solve(hc.L, dd_to_f64(r))
+                    return x
 
-            dely = solve2(h)
+                dely = solve2(h_dd)
+            else:
+                def solve2(rhs):
+                    # one step of iterative refinement (the reference carries
+                    # this commented out at src/predictor_corrector.jl:98-115);
+                    # costs one n^2 matvec and buys ~3 digits near convergence
+                    x = cho_solve(hc.L, rhs)
+                    r = rhs - Hs @ x
+                    return x + cho_solve(hc.L, r)
+
+                dely = solve2(h)
         else:
             def matvec(x):
                 r = jnp.zeros_like(x)
@@ -247,8 +361,9 @@ def build_step(opts: Options, precond_kind: int):
 
         # ---- predictor directions + steplengths
         dirs = tuple(
-            _group_dirs(g, nt, Rd, X, dely, predict=True, eigmin_fn=eigmin_fn)
-            for g, nt, Rd, X in zip(problem.groups, nts, Rds, st.X)
+            _group_dirs(g, nt, Rd, X, dely, predict=True, eigmin_fn=eigmin_fn,
+                        dd_mode=dd_mode, T_dd=T)
+            for g, nt, Rd, X, T in zip(problem.groups, nts, Rds, st.X, T_dds)
         )
         if nlin:
             ld = _lin_dirs(problem, st, Si_lin, Rd_lin, dely, predict=True)
@@ -263,15 +378,16 @@ def build_step(opts: Options, precond_kind: int):
 
         # trial point + NT correction term (`find_step`,
         # src/predictor_corrector.jl:302-310)
-        trXnSn = jnp.zeros((), dtype=dtype)
+        trXnSn_mat = jnp.zeros((), dtype=dtype)
         RNTs = []
         for g, nt, d, X, S in zip(problem.groups, nts, dirs, st.X, st.S):
             Xn = X + d.alpha[:, None, None] * d.delX
             Sn = S + d.beta[:, None, None] * d.delS
-            trXnSn = trXnSn + btrace(Xn, Sn)
+            trXnSn_mat = trXnSn_mat + btrace(Xn, Sn)
             deed = nt.D[:, :, None] + nt.D[:, None, :]
             N = nt.Gi @ d.delX @ d.delS @ nt.G
             RNTs.append(-(N + jnp.swapaxes(N, -1, -2)) / deed)
+        trXnSn = trXnSn_mat
         if nlin:
             Xn_lin = st.X_lin + ld.alpha * ld.delX
             Sn_lin = st.S_lin + ld.beta * ld.delS
@@ -292,40 +408,74 @@ def build_step(opts: Options, precond_kind: int):
             jnp.maximum(one, jnp.minimum(EXPON * one, 3.0 * step_pred**2)),
         )
         ratio = trXnSn / denom / mu
+        # the `sigma = 0.8` fallback tests only the MATRIX trace, not the LP
+        # part (`src/predictor_corrector.jl:158-160` calls btrace over LMI
+        # blocks only); the ratio uses the combined trace
         sigma = jnp.where(
-            trXnSn < 0,
+            trXnSn_mat < 0,
             jnp.asarray(0.8, dtype=dtype),
             jnp.minimum(one, _safe_pow(ratio, expon_used)),
         )
         sig_mu = sigma * mu
 
         # ---- corrector RHS (`corrector`, src/predictor_corrector.jl:183-192)
-        h2 = Rp
-        for g, nt, Rd, RNT in zip(problem.groups, nts, Rds, RNTs):
-            GT = jnp.swapaxes(nt.G, -1, -2)
-            inner = (
-                GT @ Rd @ nt.G
-                + _bdiag(nt.D)
-                - _bdiag(sig_mu / nt.D)
-                - RNT
+        if dd_mode:
+            # Algebraically identical to the reference's
+            # G[G'RdG + D - sig*mu/D - RNT]G' form via the exact NT
+            # identities G D G' = W S W and G D^-1 G' = S^-1; phrased as
+            # T - U with U = G[sig*mu/D + RNT]G' so the SAME T and U feed
+            # the corrector direction (feasibility-exact, see _group_dirs)
+            U_dds = tuple(
+                _sandwich_dd(
+                    nt.G,
+                    _bdiag(sig_mu / nt.D) + RNT,
+                    jnp.swapaxes(nt.G, -1, -2),
+                )
+                for nt, RNT in zip(nts, RNTs)
             )
-            h2 = h2 + Aop(g, nt.G @ inner @ GT)
-        if nlin:
-            tmp = ld.delX * ld.delS * Si_lin - sig_mu * Si_lin
-            h2 = h2 + problem.C_lin @ (lpw * Rd_lin + st.X_lin + tmp)
-
-        if kit == 0:
-            dely2 = solve2(h2)
+            h2_dd = Rp_dd
+            for g, T, U in zip(problem.groups, T_dds, U_dds):
+                h2_dd = dd_add(h2_dd, Aop_dd(g, T.hi, T.lo))
+                neg = dd_neg(Aop_dd(g, U.hi, U.lo))
+                h2_dd = dd_add(h2_dd, neg)
+            if nlin:
+                tmp = ld.delX * ld.delS * Si_lin - sig_mu * Si_lin
+                h2_dd = dd_add(
+                    h2_dd,
+                    acc_matvec(problem.C_lin, lpw * Rd_lin + st.X_lin + tmp),
+                )
+            dely2 = solve2(h2_dd)
         else:
-            dely2, cg_cor = pcg(matvec, h2, precond, tol_cg, opts.cg_maxiter)
+            U_dds = (None,) * ngroups
+            h2 = Rp
+            for g, nt, Rd, RNT in zip(problem.groups, nts, Rds, RNTs):
+                GT = jnp.swapaxes(nt.G, -1, -2)
+                inner = (
+                    GT @ Rd @ nt.G
+                    + _bdiag(nt.D)
+                    - _bdiag(sig_mu / nt.D)
+                    - RNT
+                )
+                h2 = h2 + Aop(g, nt.G @ inner @ GT)
+            if nlin:
+                tmp = ld.delX * ld.delS * Si_lin - sig_mu * Si_lin
+                h2 = h2 + problem.C_lin @ (lpw * Rd_lin + st.X_lin + tmp)
+
+            if kit == 0:
+                dely2 = solve2(h2)
+            else:
+                dely2, cg_cor = pcg(matvec, h2, precond, tol_cg, opts.cg_maxiter)
 
         # ---- corrector directions + final update
         dirs2 = tuple(
             _group_dirs(
                 g, nt, Rd, X, dely2,
                 predict=False, sig_mu=sig_mu, RNT=RNT, eigmin_fn=eigmin_fn,
+                dd_mode=dd_mode, T_dd=T, U_dd=U,
             )
-            for g, nt, Rd, X, RNT in zip(problem.groups, nts, Rds, st.X, RNTs)
+            for g, nt, Rd, X, RNT, T, U in zip(
+                problem.groups, nts, Rds, st.X, RNTs, T_dds, U_dds
+            )
         )
         if nlin:
             ld2 = _lin_dirs(
@@ -352,7 +502,12 @@ def build_step(opts: Options, precond_kind: int):
 
         # ---- DIMACS errors (`check_convergence`, src/Solvers.jl:496-524)
         normb = jnp.linalg.norm(problem.b)
-        by = jnp.dot(problem.b, y_new)
+        if dd_mode:
+            by_dd = _dd_dot(problem.b, y_new)
+            by = dd_to_f64(by_dd)
+            trCX_dd = DD(jnp.zeros((), dtype=dtype), jnp.zeros((), dtype=dtype))
+        else:
+            by = jnp.dot(problem.b, y_new)
         err1 = jnp.linalg.norm(Rp) / (1.0 + normb)
         err2 = jnp.zeros((), dtype=dtype)
         err3 = jnp.zeros((), dtype=dtype)
@@ -370,6 +525,8 @@ def build_step(opts: Options, precond_kind: int):
             err4 = err4 + jnp.sum(violS / (1.0 + normC))
             CX = jnp.einsum("bpq,bpq->b", g.C, X)
             trCX = trCX + jnp.sum(CX)
+            if dd_mode:
+                trCX_dd = dd_add(trCX_dd, _trace_dot_dd(g.C, X))
             SX = jnp.einsum("bpq,bpq->b", S, X)
             err6 = err6 + jnp.sum(SX / (1.0 + jnp.abs(CX) + jnp.abs(by)))
         if nlin:
@@ -378,10 +535,23 @@ def build_step(opts: Options, precond_kind: int):
             err2 = err2 + jnp.maximum(0.0, -jnp.min(X_lin_new)) / (1.0 + normb)
             err3 = err3 + jnp.linalg.norm(Rd_lin) / (1.0 + normd)
             err4 = err4 + jnp.maximum(0.0, -jnp.min(S_lin_new)) / (1.0 + normd)
-            err5 = (trCX + dX - by) / (1.0 + jnp.abs(trCX) + jnp.abs(by))
+            if dd_mode:
+                gap = dd_to_f64(
+                    dd_add(
+                        dd_add(trCX_dd, _dd_dot(problem.d_lin, X_lin_new)),
+                        dd_neg(by_dd),
+                    )
+                )
+            else:
+                gap = trCX + dX - by
+            err5 = gap / (1.0 + jnp.abs(trCX) + jnp.abs(by))
             err6 = err6 + jnp.dot(S_lin_new, X_lin_new) / (1.0 + jnp.abs(dX) + jnp.abs(by))
         else:
-            err5 = (trCX - by) / (1.0 + jnp.abs(trCX) + jnp.abs(by))
+            if dd_mode:
+                gap = dd_to_f64(dd_add(trCX_dd, dd_neg(by_dd)))
+            else:
+                gap = trCX - by
+            err5 = gap / (1.0 + jnp.abs(trCX) + jnp.abs(by))
 
         dimacs = err2 + err3 + err4 + jnp.abs(err5) + err6
         if nlmi > 0:
@@ -426,7 +596,7 @@ _STEP_CACHE = {}
 # side of the loop and must NOT key the cache
 _TRACE_RELEVANT = (
     "kit", "erank", "aamat", "cg_maxiter", "nt_method", "dtype", "step_eig",
-    "eigh_backend",
+    "eigh_backend", "precision",
 )
 
 

@@ -38,13 +38,14 @@ class CholResult(NamedTuple):
     ok: jax.Array  # bool scalar: all factorizations succeeded
 
 
-def chol_reg(M: jax.Array, eps: float, max_tries: int = 1000) -> CholResult:
+def chol_reg(M: jax.Array, eps, max_tries: int = 1000) -> CholResult:
     """Cholesky with bounded diagonal-shift regularization.
 
     Failing batch elements get ``eps * I`` added repeatedly (up to
     ``max_tries``) until positive definite. Matches the reference semantics
     of `try_cholesky` / the Schur regularization loop, vectorized over the
-    batch so only failing blocks are shifted.
+    batch so only failing blocks are shifted. ``eps`` may be a Python float
+    or a traced scalar (used for the relative H shift in the IPM step).
     """
     m = M.shape[-1]
     eye = jnp.eye(m, dtype=M.dtype)

@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 
 from ..problem import BlockGroup
+from .dd import DD, dd_add, dd_mul_f64, dd_sum, two_prod, two_sum
+from .ozaki import acc_matmul, acc_matvec
 
 __all__ = [
     "Aop",
@@ -36,6 +38,8 @@ __all__ = [
     "schur_group",
     "schur_lp",
     "lp_weight",
+    "Aop_dd",
+    "schur_group_dd",
 ]
 
 
@@ -124,6 +128,93 @@ def _schur_sparse(group: BlockGroup, W: jax.Array) -> jax.Array:
 
     Hrows = jax.lax.map(body, (rows_c, cols_c, vals_c))  # [nch, J, n]
     return Hrows.reshape(npad, n)[:n]
+
+
+def Aop_dd(group: BlockGroup, M: jax.Array, Mlo=None) -> DD:
+    """Aop in double-double: [n] <- sum_b <A_j, M_b> with dd accumulation.
+
+    ``M`` (and optional low part ``Mlo``) is the per-block matrix argument.
+    Dense storage uses an Ozaki-sliced exact contraction; rank-1 and sparse
+    storages use TwoProd + dd tree reduction (their contractions are short
+    enough that slicing buys nothing)."""
+    if group.is_rank1:
+        BX = jnp.einsum("bjm,bmp->bjp", group.B, M)  # f64 inner product
+        p = two_prod(BX, group.B)
+        vals = dd_sum(DD(p.hi, p.lo), axis=-1)  # [nb, n]
+        w = dd_sum(DD(vals.hi * group.Bsgn, vals.lo * group.Bsgn), axis=0)
+        if Mlo is not None:
+            corr = jnp.sum(
+                group.Bsgn * jnp.einsum("bjm,bmp,bjp->bj", group.B, Mlo, group.B),
+                axis=0,
+            )
+            s = two_sum(w.hi, corr)
+            w = DD(s.hi, s.lo + w.lo)
+        return w
+    if group.is_sparse:
+        gathered = jax.vmap(lambda Xb, r, c: Xb[r, c])(M, group.Arows, group.Acols)
+        p = two_prod(group.Avals, gathered)
+        flat = DD(
+            jnp.moveaxis(p.hi, 1, 0).reshape(p.hi.shape[1], -1),
+            jnp.moveaxis(p.lo, 1, 0).reshape(p.lo.shape[1], -1),
+        )
+        w = dd_sum(flat, axis=-1)
+        if Mlo is not None:
+            g2 = jax.vmap(lambda Xb, r, c: Xb[r, c])(Mlo, group.Arows, group.Acols)
+            corr = jnp.einsum("bjt,bjt->j", group.Avals, g2)
+            s = two_sum(w.hi, corr)
+            w = DD(s.hi, s.lo + w.lo)
+        return w
+    nb, n = group.A.shape[:2]
+    Af = jnp.moveaxis(group.A, 1, 0).reshape(n, -1)  # [n, b*m*m]
+    r = acc_matvec(Af, M.reshape(-1))
+    if Mlo is not None:
+        corr = Af @ Mlo.reshape(-1)
+        s = two_sum(r.hi, corr)
+        r = DD(s.hi, s.lo + r.lo)
+    return r
+
+
+def schur_group_dd(group: BlockGroup, W: jax.Array, G: jax.Array) -> DD:
+    """Schur contribution in double-double (the high-precision mode's
+    replacement for `schur_group`): every GEMM is an Ozaki-sliced exact
+    product, accumulations are dd. Cost is a constant factor (~15-20 GEMMs
+    per GEMM) over the f64 path, all MXU-shaped.
+
+    Sparse-storage groups fall back to the f64 gather path (their Schur
+    contribution enters the dd accumulator with an f64-accurate hi part);
+    the dd mode's intended regime is dense/rank-1 data."""
+    if group.is_rank1:
+        BG = acc_matmul(group.B, G)  # [nb, n, m] dd
+        GT = jnp.swapaxes(BG.hi, -1, -2)
+        P = acc_matmul(BG.hi, GT)  # [nb, n, n] dd
+        # lo-part cross terms: BG.lo @ BG.hi^T and its transpose (u^2-level
+        # relative; BG.lo x BG.lo is below dd resolution)
+        cross = BG.lo @ GT
+        P = DD(*_dd_renorm(P.hi, P.lo + cross + jnp.swapaxes(cross, -1, -2)))
+        # elementwise square in dd: (hi+lo)^2 = hi^2 + 2 hi lo (+ lo^2 ~ 0)
+        sq = two_prod(P.hi, P.hi)
+        Psq = DD(*_dd_renorm(sq.hi, sq.lo + 2.0 * P.hi * P.lo))
+        sgn = group.Bsgn[:, :, None] * group.Bsgn[:, None, :]
+        return dd_sum(DD(Psq.hi * sgn, Psq.lo * sgn), axis=0)
+    if group.is_sparse:
+        H = _schur_sparse(group, W)
+        return DD(H, jnp.zeros_like(H))
+    nb, n, m, _ = group.A.shape
+    WA = acc_matmul(W[:, None], group.A)  # [nb, n, m, m] dd
+    T = acc_matmul(WA.hi, W[:, None])
+    Tlo = WA.lo @ W[:, None]
+    T = DD(*_dd_renorm(T.hi, T.lo + Tlo))
+    Af = jnp.moveaxis(group.A, 1, 0).reshape(n, -1)  # [n, b*m*m]
+    Thf = jnp.moveaxis(T.hi, 1, 0).reshape(n, -1)
+    Tlf = jnp.moveaxis(T.lo, 1, 0).reshape(n, -1)
+    H = acc_matmul(Af, Thf.T)
+    corr = Af @ Tlf.T
+    return DD(*_dd_renorm(H.hi, H.lo + corr))
+
+
+def _dd_renorm(hi, lo):
+    s = hi + lo
+    return s, lo - (s - hi)
 
 
 def lp_weight(X_lin: jax.Array, S_lin_inv: jax.Array) -> jax.Array:

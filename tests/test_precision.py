@@ -1,0 +1,64 @@
+"""High-precision (double-double) solver mode.
+
+The reference reaches beyond-f64 accuracy by instantiating the whole solver
+at MultiFloats Float64xN (`README.md:37-54`, `examples/k.jl`); our
+TPU-native equivalent keeps the iterates in f64 and runs the
+precision-critical pieces (Schur assembly, RHS/residual contractions,
+solve refinement, feasibility-exact directions) in double-double
+(`precision='dd'`, ops/dd.py + ops/ozaki.py).
+
+Measured floors on theta1 (tests/data, CPU): plain f64 bottoms out at
+DIMACS ~9.7e-10 and then diverges; dd reaches ~1.7e-13 with err1 pinned at
+machine epsilon. These tests lock in the qualitative gap."""
+import numpy as np
+import pytest
+
+import loraine_tpu as lt
+
+
+def test_theta1_dd_beyond_f64_floor(data_dir):
+    # eDIMACS 1e-11 is far below the measured f64 floor (~1e-9); only the
+    # dd mode can reach it
+    r = lt.solve_sdpa(
+        str(data_dir / "theta1.dat-s"),
+        {"kit": 0, "eDIMACS": 1e-11, "initpoint": 1, "verb": 0,
+         "precision": "dd", "maxit": 30},
+    )
+    assert r.status == 1, r.status_name
+    assert r.dimacs < 1e-11
+    assert abs(r.objective - 23.0) < 1e-9
+    # primal/dual objective gap itself is at dd-class accuracy
+    assert abs(r.objective - r.dual_objective) < 1e-9
+
+
+def test_dd_requires_direct_and_f64():
+    with pytest.raises(ValueError):
+        lt.Options(precision="dd", dtype="float32").validated()
+    with pytest.warns(UserWarning):
+        o = lt.Options(precision="dd", kit=1).validated()
+    assert o.kit == 0
+    with pytest.raises(ValueError):
+        lt.Options(precision="qd").validated()
+
+
+def test_dd_mode_with_lp_cone_and_multiblock():
+    # mixed PSD + LP problem through the modeling layer, solved in dd
+    rng = np.random.default_rng(5)
+    n, m = 6, 5
+    A = rng.standard_normal((n, m, m))
+    A = (A + A.transpose(0, 2, 1)) / 2
+    C = np.eye(m)
+    b = rng.standard_normal(n) * 0.1
+    C_lin = rng.standard_normal((n, 4))
+    d_lin = np.abs(rng.standard_normal(4)) + 1.0
+    p = lt.problem_from_dense([A], [C], b, C_lin=C_lin, d_lin=d_lin,
+                              storage="dense")
+    r64 = lt.solve(p, {"eDIMACS": 1e-7, "verb": 0})
+    rdd = lt.solve(p, {"eDIMACS": 1e-7, "verb": 0, "precision": "dd"})
+    assert r64.status == 1 and rdd.status == 1
+    assert abs(r64.objective - rdd.objective) < 1e-6
+    # dd can go deeper on the same problem
+    rdd2 = lt.solve(p, {"eDIMACS": 1e-11, "verb": 0, "precision": "dd",
+                        "maxit": 40})
+    assert rdd2.status == 1
+    assert rdd2.dimacs < 1e-11
