@@ -56,9 +56,16 @@ def _enable_persistent_cache() -> None:
 from . import modeling
 from .config import Options, DEFAULT_OPTIONS
 from .io.sdpa import SDPAData, read_sdpa, write_sdpa
-from .problem import BlockGroup, SDPProblem, problem_from_dense, problem_from_sdpa
+from .io.poema import read_poema_json, write_poema_json, read_mat_dict
+from .problem import (
+    BlockGroup,
+    SDPProblem,
+    problem_from_dense,
+    problem_from_dict,
+    problem_from_sdpa,
+)
 from .ipm.admm import ADMMResult, solve_admm
-from .ipm.solver import Result, Solver, solve, solve_sdpa
+from .ipm.solver import Result, Solver, solve, solve_json, solve_sdpa
 from .ipm.state import IPMState
 from .utils.checkpoint import load_state, save_state
 
@@ -74,11 +81,16 @@ __all__ = [
     "BlockGroup",
     "SDPProblem",
     "problem_from_dense",
+    "problem_from_dict",
     "problem_from_sdpa",
+    "read_poema_json",
+    "write_poema_json",
+    "read_mat_dict",
     "Result",
     "Solver",
     "solve",
     "solve_sdpa",
+    "solve_json",
     "solve_admm",
     "ADMMResult",
     "IPMState",

@@ -1,9 +1,11 @@
-"""Command-line interface: solve SDPA files directly.
+"""Command-line interface: solve SDPA / POEMA-JSON files directly.
 
     python -m loraine_tpu solve path/to/problem.dat-s --kit 0 --eDIMACS 1e-6
+    python -m loraine_tpu solve path/to/problem.json
     python -m loraine_tpu bench path/to/problem.dat-s
 
-(the reference's `examples/solve_sdpa.jl` flow without a modeling layer).
+(the reference's `examples/solve_sdpa.jl` and `TBD/solve_json.jl` flows
+without a modeling layer).
 """
 from __future__ import annotations
 
@@ -54,11 +56,17 @@ def main(argv=None) -> int:
     _add_option_args(bp)
 
     args = ap.parse_args(argv)
-    from .ipm.solver import solve_sdpa
+    from .ipm.solver import solve_json, solve_sdpa
+
+    def _solve(path, opts):
+        # .json files take the POEMA-JSON path, anything else SDPA
+        if str(path).endswith(".json"):
+            return solve_json(path, opts)
+        return solve_sdpa(path, opts)
 
     opts = _collect_options(args)
     if args.cmd == "solve":
-        res = solve_sdpa(args.file, opts)
+        res = _solve(args.file, opts)
         if args.json:
             print(
                 json.dumps(
@@ -77,9 +85,9 @@ def main(argv=None) -> int:
 
     if args.cmd == "bench":
         opts.setdefault("verb", 0)
-        solve_sdpa(args.file, dict(opts))  # warm-up/compile
+        _solve(args.file, dict(opts))  # warm-up/compile
         t0 = time.time()
-        res = solve_sdpa(args.file, dict(opts))
+        res = _solve(args.file, dict(opts))
         wall = time.time() - t0
         per_it = sum(res.iteration_times[1:]) / max(1, len(res.iteration_times) - 1)
         print(

@@ -28,7 +28,7 @@ from .initial import initial_point
 from .state import IPMState
 from .step import jitted_step
 
-__all__ = ["Result", "Solver", "solve", "solve_sdpa"]
+__all__ = ["Result", "Solver", "solve", "solve_json", "solve_sdpa"]
 
 STATUS_NAMES = {
     0: "NOT_SOLVED",
@@ -329,6 +329,24 @@ class Solver:
 def solve(problem: SDPProblem, options: Union[Options, Dict[str, Any], None] = None) -> Result:
     """Solve an SDPProblem. ``options`` may be an Options or a flat dict with
     the reference's option names."""
+    return Solver(problem, options).solve()
+
+
+def solve_json(path: str, options: Union[Options, Dict[str, Any], None] = None) -> Result:
+    """Read a POEMA-JSON problem and solve it — the working replacement for
+    the reference's `TBD/solve_json.jl` flow over the broken raw-dict entry
+    (`src/Loraine.jl:30-93`)."""
+    from ..io.poema import read_poema_json
+    from ..problem import problem_from_dict
+
+    if isinstance(options, dict) or options is None:
+        options = Options.from_dict(options)
+    options = options.validated()
+    dtype = jnp.float64 if options.dtype == "float64" else jnp.float32
+    d = read_poema_json(path)
+    problem = problem_from_dict(
+        d, datarank=options.datarank, pad_multiple=options.pad_multiple, dtype=dtype
+    )
     return Solver(problem, options).solve()
 
 
