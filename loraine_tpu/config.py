@@ -65,10 +65,18 @@ class Options:
     # TPU-specific
     dtype: str = "float64"
     pad_multiple: int = 8
-    # 'exact': steplength lambda_min via the eigh_backend eigensolver;
+    # steplength lambda_min method:
+    # 'auto' (default): batched Jacobi eigenvalues below m=192, certified
+    #   Lanczos lower bound above (measured on one v5e: lanczos is +12%
+    #   it/s on maxG11 m=808 but -21% on theta1 m=56, where ~50 sequential
+    #   matvec rounds are latency-bound vs 7 Jacobi sweeps);
+    # 'exact': always the eigh_backend eigensolver;
+    # 'lanczos': always the Lanczos bound — ~50 matvecs instead of a full
+    #   eigendecomposition per phase; conservative by the residual bound,
+    #   never oversteps;
     # 'chol': Cholesky-bisection lower bound (safe, compile-light, but the
-    # sequential small-Cholesky latency on TPU makes it slower at runtime)
-    step_eig: str = "exact"
+    #   sequential small-Cholesky latency on TPU makes it slower at runtime)
+    step_eig: str = "auto"
     cg_maxiter: int = 10000
     profile_dir: str = ""  # capture a jax.profiler trace of the solve
     nt_method: str = "eigh"  # 'eigh' (no SVD codepath) or 'svd' (reference)
@@ -116,8 +124,11 @@ class Options:
             raise ValueError(f"dtype must be 'float32' or 'float64', got {o.dtype!r}")
         if o.nt_method not in ("eigh", "svd"):
             raise ValueError(f"nt_method must be 'eigh' or 'svd', got {o.nt_method!r}")
-        if o.step_eig not in ("exact", "chol"):
-            raise ValueError(f"step_eig must be 'exact' or 'chol', got {o.step_eig!r}")
+        if o.step_eig not in ("auto", "exact", "chol", "lanczos"):
+            raise ValueError(
+                "step_eig must be 'auto', 'exact', 'chol', or 'lanczos', "
+                f"got {o.step_eig!r}"
+            )
         if o.eigh_backend not in ("jacobi", "mixed", "xla", "auto"):
             raise ValueError(
                 "eigh_backend must be 'jacobi', 'mixed', 'xla', or 'auto', "

@@ -24,7 +24,7 @@ from ..config import Options
 from ..problem import SDPProblem
 from ..ops.cg import pcg
 from ..ops.dd import DD, dd_add, dd_neg, dd_sum, dd_to_f64, two_prod, two_sum
-from ..ops.eigh import eigh_backend_for, eigh_jacobi, eigh_mixed
+from ..ops.eigh import eigh_backend_for, eigh_jacobi, eigh_mixed, eigmin_lanczos
 from ..ops.linalg import btrace, chol_reg, cho_solve, eigmin, eigmin_chol, sym
 from ..ops.nt_scaling import NTScaling, nt_scale
 from ..ops.ozaki import acc_matmul, acc_matvec
@@ -183,8 +183,21 @@ def build_step(opts: Options, precond_kind: int):
     dd_mode = opts.precision == "dd" and kit == 0
 
     def eigmin_fn(M):
-        if opts.step_eig == "chol":
+        mode = opts.step_eig
+        if mode == "auto":
+            # large blocks: Lanczos bound beats a full eigendecomposition;
+            # small blocks: its ~50 sequential matvec rounds are
+            # latency-bound and Jacobi eigenvalues win (measured, v5e)
+            from ..ops.eigh import AUTO_XLA_MIN_M
+
+            mode = "lanczos" if M.shape[-1] >= AUTO_XLA_MIN_M else "exact"
+        if mode == "chol":
             return eigmin_chol(M)
+        if mode == "lanczos":
+            # certified lower bound, ~iters matvecs instead of a full
+            # (mixed-precision) eigendecomposition per phase — the
+            # steplength only needs lambda_min
+            return eigmin_lanczos(M)
         resolved = eigh_backend_for(opts.eigh_backend, M.shape[-1])
         if resolved == "jacobi":
             # lambda_min needs ~1e-9 relative, reached in 7 sweeps (full

@@ -33,6 +33,7 @@ import numpy as np
 __all__ = [
     "eigh_jacobi",
     "eigh_mixed",
+    "eigmin_lanczos",
     "round_robin_pairs",
     "eigh_backend_for",
     "AUTO_XLA_MIN_M",
@@ -209,6 +210,80 @@ def eigh_mixed(
     lam = jnp.take_along_axis(lam, order, axis=-1)
     V = jnp.take_along_axis(V, order[:, None, :], axis=-1)
     return lam, V
+
+
+def eigmin_lanczos(M: jax.Array, iters: int = 48) -> jax.Array:
+    """Certified LOWER bound on the smallest eigenvalue of each symmetric
+    matrix in a batch [nb, m, m], via Lanczos with full reorthogonalization.
+
+    Why: the IPM steplength (`find_step`, reference
+    `src/predictor_corrector.jl:274-291`) needs only lambda_min of the
+    scaled directions, not eigenvectors; a full (even mixed-precision)
+    eigendecomposition per predictor/corrector phase is the dominant
+    per-iteration cost at large m. Lanczos needs ``iters`` matvecs
+    (O(iters * m^2) VPU flops — negligible next to QDWH) plus one tiny
+    [iters, iters] Jacobi eigensolve.
+
+    Safety: a Ritz value theta only bounds lambda_min from ABOVE, so the
+    returned value is ``theta_min - |beta_k * s_k|`` (the classical residual
+    bound ||M v - theta v|| = |beta_k| |last component of tridiag
+    eigenvector|, Parlett SEP thm) minus an f64 rounding margin — steplengths
+    derived from it can be conservative but never overstep the cone.
+    """
+    nb, m, _ = M.shape
+    dtype = M.dtype
+    k = int(min(iters, m))
+
+    # deterministic full-support start vector (never orthogonal to the
+    # minimal eigenvector in exact arithmetic for generic M; rounding
+    # reintroduces components regardless)
+    i = jnp.arange(m, dtype=dtype)
+    v0 = jnp.sin(i * 1.31 + 0.7) + 0.01 * (i + 1.0) / m
+    v0 = jnp.broadcast_to(v0 / jnp.linalg.norm(v0), (nb, m))
+
+    Vb = jnp.zeros((nb, k, m), dtype=dtype).at[:, 0, :].set(v0)
+    alpha = jnp.zeros((nb, k), dtype=dtype)
+    beta = jnp.zeros((nb, k), dtype=dtype)  # beta[j] = ||r_j|| after step j
+
+    def body(j, carry):
+        Vb, alpha, beta = carry
+        v = Vb[:, j, :]
+        w = jnp.einsum("bpq,bq->bp", M, v)
+        a = jnp.einsum("bp,bp->b", v, w)
+        alpha = alpha.at[:, j].set(a)
+        # full reorthogonalization against all previous vectors (twice, for
+        # the classical 'twice is enough' robustness)
+        for _ in range(2):
+            coeff = jnp.einsum("bkp,bp->bk", Vb, w)
+            w = w - jnp.einsum("bk,bkp->bp", coeff, Vb)
+        b = jnp.linalg.norm(w, axis=-1)
+        beta = beta.at[:, j].set(b)
+        bsafe = jnp.where(b > 0, b, 1.0)
+        vnext = jnp.where((b > 0)[:, None], w / bsafe[:, None], 0.0)
+        Vb = jax.lax.cond(
+            j + 1 < k,
+            lambda Vb: Vb.at[:, j + 1, :].set(vnext),
+            lambda Vb: Vb,
+            Vb,
+        )
+        return Vb, alpha, beta
+
+    Vb, alpha, beta = jax.lax.fori_loop(0, k, body, (Vb, alpha, beta))
+
+    # tridiagonal T: diag alpha, offdiag beta[:-1]
+    T = (
+        jax.vmap(jnp.diag)(alpha)
+        + jax.vmap(lambda b: jnp.diag(b[:-1], 1))(beta)
+        + jax.vmap(lambda b: jnp.diag(b[:-1], -1))(beta)
+    )
+    lam, U = eigh_jacobi(T)
+    theta = lam[:, 0]
+    s_last = U[:, -1, 0]
+    resid = jnp.abs(beta[:, -1] * s_last)
+    # rounding margin: a few ulps of the Gershgorin scale
+    scale = jnp.max(jnp.sum(jnp.abs(M), axis=-1), axis=-1)
+    eps = jnp.asarray(np.finfo(np.dtype(dtype)).eps, dtype)
+    return theta - resid - 8.0 * eps * scale
 
 
 def eigh_jacobi(M: jax.Array, sweeps: int | None = None) -> Tuple[jax.Array, jax.Array]:

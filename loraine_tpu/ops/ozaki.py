@@ -27,9 +27,44 @@ import jax.numpy as jnp
 
 from .dd import DD, dd_add, two_sum
 
-__all__ = ["slice_operand", "acc_matmul", "acc_matvec", "dd_gemm_hi_lo"]
+__all__ = [
+    "slice_operand",
+    "acc_matmul",
+    "acc_matvec",
+    "dd_gemm_hi_lo",
+    "pow2_int",
+    "ceil_log2",
+]
 
-_TINY = 2.0**-1000  # avoids log/ldexp of 0 for all-zero rows
+_TINY = 2.0**-1000  # avoids log of 0 for all-zero rows
+
+
+def pow2_int(e: jax.Array, dtype=jnp.float64) -> jax.Array:
+    """EXACT 2**e for integer arrays e (|e| <= 1000), built by repeated
+    squaring — every multiply of powers of two is exact in f64.
+
+    Why not frexp/ldexp: on TPU the f64 X64 rewriter cannot lower frexp's
+    s64 bitcast (measured: compile error), and exp2 on emulated f64 is not
+    guaranteed to hit exact powers of two. No value here ever becomes inf
+    (the TPU f64 emulation mishandles inf through where), because the
+    squaring chain stops at 2**512.
+    """
+    neg = e < 0
+    k = jnp.abs(e).astype(jnp.int32)
+    result = jnp.ones(e.shape, dtype=dtype)
+    base = jnp.full(e.shape, 2.0, dtype=dtype)
+    for j in range(10):  # k < 1024
+        result = jnp.where((k & 1) == 1, result * base, result)
+        k = k >> 1
+        if j < 9:  # 2**512 is the largest base needed; never overflow
+            base = base * base
+    return jnp.where(neg, 1.0 / result, result)
+
+
+def ceil_log2(x: jax.Array) -> jax.Array:
+    """int32 e with 2**e >= x (one bit of headroom against log2 rounding);
+    x must be positive."""
+    return (jnp.floor(jnp.log2(x)) + 2.0).astype(jnp.int32)
 
 
 def _slice_params(k: int, bits: int):
@@ -46,16 +81,22 @@ def _slice_params(k: int, bits: int):
 def slice_operand(X: jax.Array, axis: int, beta: int, s: int):
     """Split X into s exponent-aligned slices of <= beta significand bits
     each (per-fiber along ``axis``), X == sum(slices) + residual (dropped).
-    Returns a list of arrays shaped like X."""
+    Returns a list of arrays shaped like X.
+
+    Extraction is round-to-grid by exact power-of-two divide (q*sigma with
+    integer |q| <= 2^(beta-1)): unlike the classic add-shift trick it has
+    no sub-grid boundary case for negative values, and it lowers on TPU's
+    emulated f64 (no frexp/ldexp)."""
     mx = jnp.max(jnp.abs(X), axis=axis, keepdims=True)
-    _, e = jnp.frexp(jnp.maximum(mx, _TINY))  # mx <= 2**e, e int32
+    e = ceil_log2(jnp.maximum(mx, _TINY))  # 2**e in [2*mx, 4*mx]
     slices = []
     R = X
     for i in range(s):
-        sigma = jnp.ldexp(jnp.ones_like(mx), e + 52 - beta * (i + 1))
-        q = (R + sigma) - sigma  # round R to grid 2**(e - beta*(i+1))
+        sigma = pow2_int(e - beta * (i + 1), X.dtype)
+        inv = pow2_int(beta * (i + 1) - e, X.dtype)
+        q = jnp.round(R * inv) * sigma  # multiple of sigma, <= beta bits
         slices.append(q)
-        R = R - q  # exact (Sterbenz)
+        R = R - q  # exact
     return slices
 
 
