@@ -66,25 +66,29 @@ class Options:
     dtype: str = "float64"
     pad_multiple: int = 8
     # steplength lambda_min method:
-    # 'auto' (default): batched Jacobi eigenvalues below m=192, certified
-    #   Lanczos lower bound above (measured on one v5e: lanczos is +12%
-    #   it/s on maxG11 m=808 but -21% on theta1 m=56, where ~50 sequential
-    #   matvec rounds are latency-bound vs 7 Jacobi sweeps);
-    # 'exact': always the eigh_backend eigensolver;
-    # 'lanczos': always the Lanczos bound — ~50 matvecs instead of a full
-    #   eigendecomposition per phase; conservative by the residual bound,
-    #   never oversteps;
+    # 'auto' (default): on TPU the 'pallas' bound, on CPU 'exact';
+    # 'pallas': single-kernel Jacobi + Gershgorin spectral bounds — a true
+    #   lower bound up to an f32 backward-error margin, valid for any sweep
+    #   count (ops/jacobi_pallas.py);
+    # 'exact': the eigh_backend eigensolver (full eigenvalues);
+    # 'lanczos': Ritz-residual lower bound, ~50 matvecs per phase. CAUTION:
+    #   with a fixed iteration cap and deterministic start an unconverged
+    #   Krylov space can return a value ABOVE the true lambda_min (no
+    #   completeness guarantee) — kept as an opt-in, not a default;
     # 'chol': Cholesky-bisection lower bound (safe, compile-light, but the
     #   sequential small-Cholesky latency on TPU makes it slower at runtime)
     step_eig: str = "auto"
     cg_maxiter: int = 10000
     profile_dir: str = ""  # capture a jax.profiler trace of the solve
     nt_method: str = "eigh"  # 'eigh' (no SVD codepath) or 'svd' (reference)
-    # 'jacobi': in-house parallel-Jacobi eigensolver (compiles in seconds at
-    # any size, runtime grows with m); 'mixed': f32 QDWH seed + f64
-    # GEMM-only refinement (fast at large m, one f32-QDWH compile);
+    # 'pallas': single-kernel Pallas Jacobi f32 seed + f64 GEMM-only
+    # refinement (compiles in seconds at any size; the TPU default);
+    # 'jacobi': XLA-level parallel-Jacobi eigensolver (compiles in seconds,
+    # per-round dispatch overhead grows with m); 'mixed': f32 QDWH seed +
+    # f64 GEMM refinement (fast at large m, but the QDWH seed compiles for
+    # MINUTES per shape through the remote TPU tunnel);
     # 'xla': pure-f64 QDWH (~10 s/call at m~800 on TPU);
-    # 'auto': jacobi below m=192, mixed above
+    # 'auto': 'pallas' on TPU; on CPU jacobi below m=192, mixed above
     eigh_backend: str = "auto"
     # High-precision mode (the reference's MultiFloats Float64xN equivalent,
     # `README.md:37-54`): 'f64' plain float64; 'dd' double-double — Schur
@@ -124,15 +128,15 @@ class Options:
             raise ValueError(f"dtype must be 'float32' or 'float64', got {o.dtype!r}")
         if o.nt_method not in ("eigh", "svd"):
             raise ValueError(f"nt_method must be 'eigh' or 'svd', got {o.nt_method!r}")
-        if o.step_eig not in ("auto", "exact", "chol", "lanczos"):
+        if o.step_eig not in ("auto", "exact", "chol", "lanczos", "pallas"):
             raise ValueError(
-                "step_eig must be 'auto', 'exact', 'chol', or 'lanczos', "
-                f"got {o.step_eig!r}"
+                "step_eig must be 'auto', 'exact', 'chol', 'lanczos', or "
+                f"'pallas', got {o.step_eig!r}"
             )
-        if o.eigh_backend not in ("jacobi", "mixed", "xla", "auto"):
+        if o.eigh_backend not in ("jacobi", "mixed", "xla", "auto", "pallas"):
             raise ValueError(
-                "eigh_backend must be 'jacobi', 'mixed', 'xla', or 'auto', "
-                f"got {o.eigh_backend!r}"
+                "eigh_backend must be 'jacobi', 'mixed', 'xla', 'pallas', or "
+                f"'auto', got {o.eigh_backend!r}"
             )
         if o.precision not in ("f64", "dd"):
             raise ValueError(f"precision must be 'f64' or 'dd', got {o.precision!r}")

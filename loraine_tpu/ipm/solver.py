@@ -26,7 +26,13 @@ from ..problem import SDPProblem, problem_from_sdpa
 from ..utils.timers import PhaseTimer
 from .initial import initial_point
 from .state import IPMState
-from .step import jitted_step
+from .step import jitted_chunk
+
+# iterations per device dispatch: through the remote TPU tunnel one
+# dispatch+fetch round trip costs ~25-30 ms (more than a small problem's
+# whole iteration); the chunked on-device loop (step.py:build_chunk) fetches
+# stats once per chunk instead of once per iteration
+STEPS_PER_DISPATCH = 8
 
 __all__ = ["Result", "Solver", "solve", "solve_json", "solve_sdpa"]
 
@@ -168,8 +174,9 @@ class Solver:
             profiler_cm.__enter__()
 
         precond_kind = o.preconditioner if o.kit == 1 else -1
+        K = max(1, min(STEPS_PER_DISPATCH, o.maxit))
         with self.timer.phase("build/compile step"):
-            step = jitted_step(o, precond_kind)
+            chunk = jitted_chunk(o, precond_kind, K)
 
         tol_cg = o.tol_cg
         status = 0
@@ -182,84 +189,78 @@ class Solver:
         dtype = p.b.dtype
 
         while status == 0:
-            it += 1
             t2 = time.time()
             with self.timer.phase("ipm step"):
-                state, stats = step(p, state, jnp.asarray(tol_cg, dtype=dtype))
-                stats = jax.device_get(stats)
+                res = chunk(p, state, jnp.asarray(tol_cg, dtype=dtype), it, regcount)
+                state = res.state
+                buf, k, it_d, tol_d, reg_d, status_d, switch = jax.device_get(
+                    (res.buf, res.k, res.it, res.tol_cg, res.regcount,
+                     res.status, res.switch)
+                )
             dt = time.time() - t2
-            iteration_times.append(dt)
+            k = int(k)
+            per_iter = dt / max(k, 1)
 
-            tol_cg = max(tol_cg * o.tol_cg_up, o.tol_cg_min)
-
-            stats_h = {
-                "obj": float(stats.obj), "mu": float(stats.mu),
-                "err1": float(stats.err1), "err2": float(stats.err2),
-                "err3": float(stats.err3), "err4": float(stats.err4),
-                "err5": float(stats.err5), "err6": float(stats.err6),
-                "dimacs": float(stats.dimacs),
-                "cg_pre": int(stats.cg_iter_pre), "cg_cor": int(stats.cg_iter_cor),
-            }
-            cg_tot += stats_h["cg_pre"] + stats_h["cg_cor"]
-            history.append(dict(stats_h))
-
-            # numerical failure handling (reference regularization/give-up
-            # semantics, src/predictor_corrector.jl:55-97, src/prepare_W.jl:5-26)
-            if not bool(stats.h_ok):
-                if o.verb > 0:
-                    print("WARNING: H cannot be made positive definite, giving up")
-                status = 3
-                break
-            if int(stats.h_shifts) > 0:
-                regcount += 1
-                if o.verb > 0:
-                    print("Matrix H not positive definite, regularized")
-                if regcount > 5:
+            # replay the chunk's per-iteration rows on the host: log lines,
+            # history, and the reference's warning messages
+            # (src/predictor_corrector.jl:55-97, src/Solvers.jl:543-566)
+            for r in range(k):
+                it += 1
+                iteration_times.append(per_iter)
+                stats_h = {
+                    "obj": float(buf.obj[r]), "mu": float(buf.mu[r]),
+                    "err1": float(buf.err1[r]), "err2": float(buf.err2[r]),
+                    "err3": float(buf.err3[r]), "err4": float(buf.err4[r]),
+                    "err5": float(buf.err5[r]), "err6": float(buf.err6[r]),
+                    "dimacs": float(buf.dimacs[r]),
+                    "cg_pre": int(buf.cg_iter_pre[r]),
+                    "cg_cor": int(buf.cg_iter_cor[r]),
+                }
+                cg_tot += stats_h["cg_pre"] + stats_h["cg_cor"]
+                history.append(dict(stats_h))
+                if not bool(buf.h_ok[r]):
                     if o.verb > 0:
-                        print("WARNING: too many regularizations of H, giving up")
-                    status = 3
-                    break
-            if not bool(stats.nt_ok):
-                if o.verb > 0:
-                    print("WARNING: X or S cannot be made positive definite, giving up")
-                status = 4
-                break
-            if not math.isfinite(stats_h["dimacs"]):
-                if o.verb > 0:
-                    print("WARNING: numerical breakdown (non-finite error), giving up")
-                status = 3
-                break
+                        print("WARNING: H cannot be made positive definite, giving up")
+                    continue
+                if int(buf.h_shifts[r]) > 0:
+                    regcount += 1
+                    if o.verb > 0:
+                        print("Matrix H not positive definite, regularized")
+                    if regcount > 5:
+                        if o.verb > 0:
+                            print("WARNING: too many regularizations of H, giving up")
+                        continue
+                if not bool(buf.nt_ok[r]):
+                    if o.verb > 0:
+                        print("WARNING: X or S cannot be made positive definite, giving up")
+                    continue
+                if not math.isfinite(stats_h["dimacs"]):
+                    if o.verb > 0:
+                        print("WARNING: numerical breakdown (non-finite error), giving up")
+                    continue
+                self._log_iter(it, stats_h, per_iter)
 
-            self._log_iter(it, stats_h, dt)
-
-            if stats_h["dimacs"] < o.eDIMACS:
-                status = 1
-            elif stats_h["dimacs"] > 1e55:
-                status = 2
-                if o.verb > 0:
+            status = int(status_d)
+            regcount = int(reg_d)
+            tol_cg = float(tol_d)
+            it = int(it_d)
+            if o.verb > 0 and status in (2, 3, 4) and stats_h:
+                if status == 2:
                     print("WARNING: Problem probably infeasible (stopping status = 2)")
-            elif abs(stats_h["obj"]) > 1e55:
-                status = 3
-                if o.verb > 0:
+                elif status == 3 and abs(stats_h.get("obj", 0.0)) > 1e55:
                     print("WARNING: Problem probably unbounded or infeasible (stopping status = 3)")
-            elif it >= o.maxit:
-                status = 4
-                if o.verb > 0:
+                elif status == 4 and it >= o.maxit:
                     print("WARNING: Stopped by iteration limit (stopping status = 4)")
 
-            # hybrid preconditioner switch (src/Solvers.jl:339-347)
-            if status == 0 and o.kit == 1 and precond_kind == 4:
-                cg_cor = stats_h["cg_cor"]
-                if (
-                    cg_cor / 2 > o.erank * p.nlmi * math.sqrt(p.n) / 20
-                    and it > math.sqrt(p.n) / 60
-                ) or cg_cor > 100:
-                    precond_kind = 1
-                    o.aamat = 2
-                    if o.verb > 0:
-                        print("Switching to preconditioner 1")
-                    with self.timer.phase("build/compile step"):
-                        step = jitted_step(o, precond_kind)
+            # hybrid preconditioner switch (src/Solvers.jl:339-347), signaled
+            # by the device chunk
+            if status == 0 and bool(switch):
+                precond_kind = 1
+                o.aamat = 2
+                if o.verb > 0:
+                    print("Switching to preconditioner 1")
+                with self.timer.phase("build/compile step"):
+                    chunk = jitted_chunk(o, precond_kind, K)
 
         if profiler_cm is not None:
             jax.block_until_ready(state)

@@ -25,7 +25,16 @@ from ..problem import SDPProblem
 from ..ops.cg import pcg
 from ..ops.dd import DD, dd_add, dd_neg, dd_sum, dd_to_f64, two_prod, two_sum
 from ..ops.eigh import eigh_backend_for, eigh_jacobi, eigh_mixed, eigmin_lanczos
-from ..ops.linalg import btrace, chol_reg, cho_solve, eigmin, eigmin_chol, sym
+from ..ops.jacobi_pallas import eig_bounds_pallas, eigmin_pallas
+from ..ops.linalg import (
+    btrace,
+    chol_reg,
+    cho_solve_inv,
+    eigmin,
+    eigmin_chol,
+    sym,
+    tri_inv,
+)
 from ..ops.nt_scaling import NTScaling, nt_scale
 from ..ops.ozaki import acc_matmul, acc_matvec
 from ..ops.precond import prep_alpha, prep_beta
@@ -41,7 +50,7 @@ from ..ops.schur import (
 from .initial import EXPON, TAU
 from .state import IPMState, StepStats
 
-__all__ = ["build_step", "jitted_step"]
+__all__ = ["build_step", "jitted_step", "build_chunk", "jitted_chunk", "ChunkResult"]
 
 _STEP_EPS = -1e-6  # "essentially feasible direction" threshold
 
@@ -101,6 +110,7 @@ def _group_dirs(
     sig_mu: Optional[jax.Array] = None,
     RNT: Optional[jax.Array] = None,
     eigmin_fn=eigmin,
+    eigrange_fn=None,
     dd_mode: bool = False,
     T_dd=None,
     U_dd=None,
@@ -130,14 +140,27 @@ def _group_dirs(
             delX = sym(sig_mu * nt.Si - X - Xi + nt.G @ RNT @ GT)
 
     delSb = GT @ delS @ nt.G
-    delXb = nt.Gi @ delX @ jnp.swapaxes(nt.Gi, -1, -2)
-    scaleX = sym(nt.DDsi[:, :, None] * delXb * nt.DDsi[:, None, :])
     scaleS = sym(nt.DDsi[:, :, None] * delSb * nt.DDsi[:, None, :])
-    # one batched eigendecomposition for both steplengths (latency win)
-    nb = scaleX.shape[0]
-    ev = eigmin_fn(jnp.concatenate([scaleX, scaleS], axis=0))
-    alpha = _steplen(ev[:nb])
-    beta = _steplen(ev[nb:])
+    if predict and not dd_mode and eigrange_fn is not None:
+        # Predictor identity: with the exact NT relations Gi X Gi^T = D and
+        # DDsi = D^{-1/2}, the scaled predictor primal direction satisfies
+        #   scaleX = DDsi (Gi (-X - W delS W) Gi^T) DDsi = -I - scaleS,
+        # so lambda_min(scaleX) = -1 - lambda_max(scaleS): ONE spectral-range
+        # computation on scaleS yields both steplengths, and delXb/scaleX are
+        # never materialized (two fewer batched GEMMs). Holds to rounding
+        # except when chol_reg shifted X (breakdown regime, where the exact
+        # path is equally heuristic).
+        lo, hi = eigrange_fn(scaleS)
+        alpha = _steplen(-1.0 - hi)
+        beta = _steplen(lo)
+    else:
+        delXb = nt.Gi @ delX @ jnp.swapaxes(nt.Gi, -1, -2)
+        scaleX = sym(nt.DDsi[:, :, None] * delXb * nt.DDsi[:, None, :])
+        # one batched eigendecomposition for both steplengths (latency win)
+        nb = scaleX.shape[0]
+        ev = eigmin_fn(jnp.concatenate([scaleX, scaleS], axis=0))
+        alpha = _steplen(ev[:nb])
+        beta = _steplen(ev[nb:])
     return _GroupDirs(delX=delX, delS=delS, alpha=alpha, beta=beta)
 
 
@@ -182,22 +205,29 @@ def build_step(opts: Options, precond_kind: int):
     # kit=0 for it); the TPU-native stand-in for MultiFloats Float64xN
     dd_mode = opts.precision == "dd" and kit == 0
 
-    def eigmin_fn(M):
+    def _step_mode() -> str:
         mode = opts.step_eig
         if mode == "auto":
-            # large blocks: Lanczos bound beats a full eigendecomposition;
-            # small blocks: its ~50 sequential matvec rounds are
-            # latency-bound and Jacobi eigenvalues win (measured, v5e)
-            from ..ops.eigh import AUTO_XLA_MIN_M
+            # TPU: the single-kernel Pallas Jacobi Gershgorin bound — safe
+            # (a true lower bound up to an f32 backward-error margin, unlike
+            # the Lanczos Ritz bound, which has no completeness guarantee)
+            # and faster than both full eigendecompositions and Lanczos'
+            # ~50 sequential matvec rounds. CPU: exact eigenvalues.
+            return "pallas" if jax.default_backend() == "tpu" else "exact"
+        return mode
 
-            mode = "lanczos" if M.shape[-1] >= AUTO_XLA_MIN_M else "exact"
+    def eigmin_fn(M):
+        mode = _step_mode()
         if mode == "chol":
             return eigmin_chol(M)
         if mode == "lanczos":
-            # certified lower bound, ~iters matvecs instead of a full
-            # (mixed-precision) eigendecomposition per phase — the
-            # steplength only needs lambda_min
+            # opt-in: Ritz-residual lower bound; CAUTION — with a fixed
+            # iteration cap and deterministic start, an unconverged Krylov
+            # space can miss lambda_min entirely (no completeness
+            # guarantee); prefer 'pallas'/'auto'
             return eigmin_lanczos(M)
+        if mode == "pallas":
+            return eigmin_pallas(M)
         resolved = eigh_backend_for(opts.eigh_backend, M.shape[-1])
         if resolved == "jacobi":
             # lambda_min needs ~1e-9 relative, reached in 7 sweeps (full
@@ -206,7 +236,37 @@ def build_step(opts: Options, precond_kind: int):
             return eigh_jacobi(M, sweeps=7)[0][..., 0]
         if resolved == "mixed":
             return eigh_mixed(M, refine_iters=1)[0][..., 0]
+        if resolved == "pallas":
+            return eigmin_pallas(M)
         return eigmin(M)
+
+    def eigrange_fn(M):
+        """(lower bound on lambda_min, upper bound on lambda_max) — enables
+        the predictor identity scaleX = -I - scaleS (see _group_dirs)."""
+        mode = _step_mode()
+        if mode == "pallas":
+            return eig_bounds_pallas(M)
+        resolved = eigh_backend_for(opts.eigh_backend, M.shape[-1])
+        if resolved == "jacobi":
+            lam = eigh_jacobi(M, sweeps=7)[0]
+        elif resolved in ("mixed", "pallas"):
+            lam = eigh_mixed(
+                M,
+                refine_iters=1,
+                seed="pallas" if resolved == "pallas" else "xla32",
+            )[0]
+        else:
+            lam = jnp.linalg.eigvalsh(M)
+        return lam[..., 0], lam[..., -1]
+
+    # The predictor identity shortcut is enabled only for the 'pallas' bound
+    # mode (the TPU default), where it saves a second spectral computation
+    # and two batched GEMMs. For 'exact' modes the two-matrix path is kept:
+    # the shortcut is algebraically identical but rounds differently, and on
+    # problems orbiting the CG-path accuracy floor (tol_cg_min ~ eDIMACS) a
+    # ulp-level trajectory change can flip marginal convergence — not worth
+    # it where the eigendecomposition is already being computed exactly.
+    range_fn = eigrange_fn if _step_mode() == "pallas" else None
 
     def psd_violation(M):
         """max(0, -lambda_min) for the DIMACS err2/err4 terms: exactly 0
@@ -322,19 +382,23 @@ def build_step(opts: Options, precond_kind: int):
             # relative shift); sub-f64 floors are precision='dd' territory.
             hc = chol_reg(Hs, 1e-4, 1000)
             h_shifts, h_ok = hc.shifts, hc.ok
+            # explicit inv(L): the 4 sequential single-RHS triangular solves
+            # per iteration become GEMVs; iterative refinement (below)
+            # absorbs the u*cond-class inversion error (ops/linalg.py:tri_inv)
+            Hli = tri_inv(hc.L)
 
             if dd_mode:
                 def solve2(rhs_dd):
                     # mixed-precision iterative refinement: f64 factorization
                     # + double-double residuals -> forward error ~u instead
                     # of u*cond(H) (cond(H) ~ 1/mu^2 near convergence)
-                    x = cho_solve(hc.L, rhs_dd.hi)
+                    x = cho_solve_inv(Hli, rhs_dd.hi)
                     for _ in range(3):
                         Hx = acc_matvec(Hs_dd.hi, x)
                         s = two_sum(Hx.hi, Hs_dd.lo @ x)
                         Hx = DD(s.hi, s.lo + Hx.lo)
                         r = dd_add(rhs_dd, dd_neg(Hx))
-                        x = x + cho_solve(hc.L, dd_to_f64(r))
+                        x = x + cho_solve_inv(Hli, dd_to_f64(r))
                     return x
 
                 dely = solve2(h_dd)
@@ -343,9 +407,9 @@ def build_step(opts: Options, precond_kind: int):
                     # one step of iterative refinement (the reference carries
                     # this commented out at src/predictor_corrector.jl:98-115);
                     # costs one n^2 matvec and buys ~3 digits near convergence
-                    x = cho_solve(hc.L, rhs)
+                    x = cho_solve_inv(Hli, rhs)
                     r = rhs - Hs @ x
-                    return x + cho_solve(hc.L, r)
+                    return x + cho_solve_inv(Hli, r)
 
                 dely = solve2(h)
         else:
@@ -375,7 +439,7 @@ def build_step(opts: Options, precond_kind: int):
         # ---- predictor directions + steplengths
         dirs = tuple(
             _group_dirs(g, nt, Rd, X, dely, predict=True, eigmin_fn=eigmin_fn,
-                        dd_mode=dd_mode, T_dd=T)
+                        eigrange_fn=range_fn, dd_mode=dd_mode, T_dd=T)
             for g, nt, Rd, X, T in zip(problem.groups, nts, Rds, st.X, T_dds)
         )
         if nlin:
@@ -600,6 +664,140 @@ def build_step(opts: Options, precond_kind: int):
 def _bdiag(d: jax.Array) -> jax.Array:
     """[nb, m] -> [nb, m, m] batched diagonal embed."""
     return jax.vmap(jnp.diag)(d)
+
+
+# ---------------------------------------------------------------------------
+# Chunked on-device IPM loop: run up to K iterations per dispatch.
+#
+# Why: through the remote TPU tunnel a dispatch+fetch round trip costs
+# ~25-30 ms — more than an entire theta1-class iteration. Running the
+# convergence/status logic of the reference's outer loop
+# (`src/Solvers.jl:329-349`, `check_convergence` `:543-566`) inside a
+# lax.while_loop and fetching a [K]-row stats buffer ONCE per chunk removes
+# that overhead without changing any decision: the status precedence and the
+# tol_cg schedule are replicated exactly; per-iteration log rows are printed
+# by the host from the fetched buffer.
+# ---------------------------------------------------------------------------
+
+
+class ChunkResult(NamedTuple):
+    state: IPMState
+    buf: StepStats  # [K]-arrays; rows [0, k) are valid
+    k: jax.Array  # iterations executed this chunk (int32)
+    it: jax.Array  # global iteration counter after the chunk
+    tol_cg: jax.Array
+    regcount: jax.Array
+    status: jax.Array  # 0 = still running
+    switch: jax.Array  # hybrid preconditioner 4 -> 1 switch requested
+
+
+class _ChunkCarry(NamedTuple):
+    state: IPMState
+    buf: StepStats
+    k: jax.Array
+    it: jax.Array
+    tol_cg: jax.Array
+    regcount: jax.Array
+    status: jax.Array
+    switch: jax.Array
+
+
+def build_chunk(opts: Options, precond_kind: int, K: int):
+    """Return chunk(problem, state, tol_cg, it0, regcount0) -> ChunkResult."""
+    step = build_step(opts, precond_kind)
+    hybrid = opts.kit == 1 and precond_kind == 4
+
+    def chunk(problem: SDPProblem, state: IPMState, tol_cg, it0, regcount0):
+        dtype = problem.b.dtype
+        fz = jnp.zeros((K,), dtype=dtype)
+        iz = jnp.zeros((K,), dtype=jnp.int32)
+        bz = jnp.zeros((K,), dtype=bool)
+        buf0 = StepStats(
+            obj=fz, mu=fz, sigma=fz, err1=fz, err2=fz, err3=fz, err4=fz,
+            err5=fz, err6=fz, dimacs=fz, alpha_min=fz, beta_min=fz,
+            h_shifts=iz, h_ok=bz, nt_ok=bz, cg_iter_pre=iz, cg_iter_cor=iz,
+        )
+
+        def cond(c: _ChunkCarry):
+            return jnp.logical_and(
+                jnp.logical_and(c.status == 0, jnp.logical_not(c.switch)),
+                c.k < K,
+            )
+
+        def body(c: _ChunkCarry):
+            new_state, stats = step(problem, c.state, c.tol_cg)
+            it = c.it + 1
+            regcount = c.regcount + (stats.h_shifts > 0).astype(jnp.int32)
+            dimacs = stats.dimacs
+            # status precedence mirrors the host loop / reference `solve`
+            status = jnp.where(jnp.logical_not(stats.h_ok), jnp.int32(3), jnp.int32(0))
+            ok = status == 0
+            status = jnp.where(
+                ok & (stats.h_shifts > 0) & (regcount > 5), 3, status
+            )
+            ok = status == 0
+            status = jnp.where(ok & jnp.logical_not(stats.nt_ok), 4, status)
+            ok = status == 0
+            status = jnp.where(ok & jnp.logical_not(jnp.isfinite(dimacs)), 3, status)
+            ok = status == 0
+            status = jnp.where(ok & (dimacs < opts.eDIMACS), 1, status)
+            ok = status == 0
+            status = jnp.where(ok & (dimacs > 1e55), 2, status)
+            ok = status == 0
+            status = jnp.where(ok & (jnp.abs(stats.obj) > 1e55), 3, status)
+            ok = status == 0
+            status = jnp.where(ok & (it >= opts.maxit), 4, status)
+
+            if hybrid:
+                cg_cor = stats.cg_iter_cor.astype(dtype)
+                thresh = opts.erank * problem.nlmi * math.sqrt(problem.n) / 20.0
+                switch = (status == 0) & (
+                    ((cg_cor / 2.0 > thresh) & (it > math.sqrt(problem.n) / 60.0))
+                    | (cg_cor > 100)
+                )
+            else:
+                switch = jnp.asarray(False)
+
+            buf = StepStats(
+                *(b.at[c.k].set(v) for b, v in zip(c.buf, stats))
+            )
+            tol_cg = jnp.maximum(c.tol_cg * opts.tol_cg_up, opts.tol_cg_min)
+            return _ChunkCarry(
+                state=new_state, buf=buf, k=c.k + 1, it=it, tol_cg=tol_cg,
+                regcount=regcount, status=status, switch=switch,
+            )
+
+        init = _ChunkCarry(
+            state=state, buf=buf0, k=jnp.int32(0), it=jnp.asarray(it0, jnp.int32),
+            tol_cg=jnp.asarray(tol_cg, dtype), regcount=jnp.asarray(regcount0, jnp.int32),
+            status=jnp.int32(0), switch=jnp.asarray(False),
+        )
+        out = jax.lax.while_loop(cond, body, init)
+        return ChunkResult(
+            state=out.state, buf=out.buf, k=out.k, it=out.it,
+            tol_cg=out.tol_cg, regcount=out.regcount, status=out.status,
+            switch=out.switch,
+        )
+
+    return chunk
+
+
+_CHUNK_CACHE = {}
+
+
+def jitted_chunk(opts: Options, precond_kind: int, K: int):
+    """Jitted chunked loop, cached like jitted_step (same trace-relevant
+    key + eDIMACS/maxit/tol schedule, which are baked into the chunk)."""
+    key = (
+        tuple(getattr(opts, f) for f in _TRACE_RELEVANT),
+        precond_kind, K, opts.eDIMACS, opts.maxit, opts.tol_cg_up,
+        opts.tol_cg_min,
+    )
+    fn = _CHUNK_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(build_chunk(opts, precond_kind, K))
+        _CHUNK_CACHE[key] = fn
+    return fn
 
 
 _STEP_CACHE = {}

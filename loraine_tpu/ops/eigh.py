@@ -39,16 +39,21 @@ __all__ = [
     "AUTO_XLA_MIN_M",
 ]
 
-# 'auto' backend policy: below this block size the Jacobi solver wins
-# (compile seconds, runtime tens of ms); at or above it the mixed-precision
-# refinement path wins — its f32 QDWH seed runs on the MXU and the f64 work
-# is a handful of GEMMs, vs ~10 s/call for pure-f64 QDWH and O(m) sequential
-# rotation rounds for Jacobi (both measured at m=808 on one v5e chip).
+# 'auto' backend policy on CPU: below this block size the XLA-level Jacobi
+# solver wins; at or above it the mixed path (f32 LAPACK seed + f64 GEMM
+# refinement) wins. On TPU 'auto' resolves to 'pallas' at every size: the
+# single-kernel Pallas Jacobi seed (ops/jacobi_pallas.py) compiles in
+# seconds and beats both the f32 QDWH seed (minutes of compile through the
+# remote tunnel, D&C latency at runtime) and the XLA-level Jacobi (per-op
+# dispatch overhead on O(m * sweeps) sequential rounds) — measured on v5e:
+# m=56 seed 4.6 ms vs 27 ms, m=800 NT phase 155 ms -> ~60 ms.
 AUTO_XLA_MIN_M = 192
 
 
 def eigh_backend_for(backend: str, m: int) -> str:
     if backend == "auto":
+        if jax.default_backend() == "tpu":
+            return "pallas"
         return "mixed" if m >= AUTO_XLA_MIN_M else "jacobi"
     return backend
 
@@ -142,10 +147,15 @@ def _eigh_jacobi_impl(M: jax.Array, pairs: jax.Array, sweeps: int):
 
 
 def eigh_mixed(
-    M: jax.Array, gap_rel: float = 1e-6, refine_iters: int = 2
+    M: jax.Array,
+    gap_rel: float = 1e-6,
+    refine_iters: int = 2,
+    seed: str = "xla32",
 ) -> Tuple[jax.Array, jax.Array]:
     """Mixed-precision symmetric eigendecomposition: f32 seed + f64
-    GEMM-only refinement.
+    GEMM-only refinement. ``seed`` selects the f32 eigenbasis source:
+    'xla32' (QDWH, minutes of compile per shape on TPU) or 'pallas' (the
+    single-kernel Jacobi of ops/jacobi_pallas.py, seconds).
 
     Why: pure-f64 eigendecomposition on TPU is software-emulated and costs
     ~10 s/call at m~800 (the dominant per-iteration cost of the IPM for
@@ -177,7 +187,12 @@ def eigh_mixed(
     scale = jnp.max(jnp.sum(jnp.abs(D_), axis=-1), axis=-1)  # >= ||Delta||_2
     scale = jnp.maximum(scale, 1e-300)
 
-    _, V32 = jnp.linalg.eigh(D_.astype(jnp.float32))
+    if seed == "pallas":
+        from .jacobi_pallas import eigh_pallas_f32
+
+        _, V32 = eigh_pallas_f32(D_)
+    else:
+        _, V32 = jnp.linalg.eigh(D_.astype(jnp.float32))
     V = V32.astype(dtype)
     M = D_  # refine against the shifted matrix; shift restored at the end
 

@@ -34,6 +34,8 @@ def _eigh(M: jax.Array, backend: str):
         return eigh_jacobi(M)
     if resolved == "mixed":
         return eigh_mixed(M)
+    if resolved == "pallas":
+        return eigh_mixed(M, seed="pallas")
     return jnp.linalg.eigh(M)
 
 

@@ -20,7 +20,7 @@ def test_theta1_iterative_alpha(data_dir):
     res = lt.solve_sdpa(
         str(data_dir / "theta1.dat-s"),
         {
-            "kit": 1, "eDIMACS": 1e-6, "tol_cg_min": 1e-6,
+            "kit": 1, "eDIMACS": 1e-6, "tol_cg_min": 1e-7,
             "initpoint": 1, "preconditioner": 1, "erank": 1, "verb": 0,
         },
     )
@@ -33,7 +33,7 @@ def test_theta1_iterative_beta_none(data_dir):
         res = lt.solve_sdpa(
             str(data_dir / "theta1.dat-s"),
             {
-                "kit": 1, "eDIMACS": 1e-6, "tol_cg_min": 1e-6,
+                "kit": 1, "eDIMACS": 1e-6, "tol_cg_min": 1e-7,
                 "initpoint": 1, "preconditioner": prec, "verb": 0,
             },
         )

@@ -39,7 +39,7 @@ def test_iterative_matches_direct_mixed_lp(prec):
         prob,
         {
             "kit": 1, "preconditioner": prec, "eDIMACS": 1e-5,
-            "tol_cg_min": 1e-6, "erank": 1, "verb": 0,
+            "tol_cg_min": 1e-7, "erank": 1, "verb": 0,
         },
     )
     assert res_dir.status == 1 and res_it.status == 1
@@ -60,7 +60,7 @@ def test_alpha_on_low_rank_solution():
         prob,
         {
             "kit": 1, "preconditioner": 1, "erank": 1,
-            "eDIMACS": 1e-6, "tol_cg_min": 1e-6, "initpoint": 1, "verb": 0,
+            "eDIMACS": 1e-6, "tol_cg_min": 1e-7, "initpoint": 1, "verb": 0,
         },
     )
     assert res.status == 1
@@ -126,12 +126,12 @@ def test_alpha_erank_2():
     res1 = lt.solve(
         prob,
         {"kit": 1, "preconditioner": 1, "erank": 1, "eDIMACS": 1e-6,
-         "tol_cg_min": 1e-6, "initpoint": 1, "verb": 0},
+         "tol_cg_min": 1e-7, "initpoint": 1, "verb": 0},
     )
     res2 = lt.solve(
         prob,
         {"kit": 1, "preconditioner": 1, "erank": 2, "eDIMACS": 1e-6,
-         "tol_cg_min": 1e-6, "initpoint": 1, "verb": 0},
+         "tol_cg_min": 1e-7, "initpoint": 1, "verb": 0},
     )
     assert res1.status == 1 and res2.status == 1
     np.testing.assert_allclose(res2.objective, res1.objective, rtol=1e-5)
