@@ -21,7 +21,7 @@ def _add_option_args(p: argparse.ArgumentParser) -> None:
     from .config import Options
 
     for f in dataclasses.fields(Options):
-        if f.type in ("int", int):
+        if f.type in ("int", int, "Optional[int]"):
             p.add_argument(f"--{f.name}", type=int, default=None)
         elif f.type in ("float", float):
             p.add_argument(f"--{f.name}", type=float, default=None)
@@ -49,6 +49,12 @@ def main(argv=None) -> int:
     sp = sub.add_parser("solve", help="solve an SDPA .dat-s file")
     sp.add_argument("file")
     sp.add_argument("--json", action="store_true", help="print a JSON summary")
+    sp.add_argument(
+        "--phases", action="store_true",
+        help="print the per-phase device-time breakdown after the solve "
+        "(equivalent to timing=2; the reference's TimerOutputs tree, "
+        "`src/Loraine.jl:88-90`)",
+    )
     _add_option_args(sp)
 
     bp = sub.add_parser("bench", help="time a solve (warm + steady-state)")
@@ -66,6 +72,9 @@ def main(argv=None) -> int:
 
     opts = _collect_options(args)
     if args.cmd == "solve":
+        if getattr(args, "phases", False):
+            opts["timing"] = max(2, int(opts.get("timing", 2)))
+            opts.setdefault("verb", 1)
         res = _solve(args.file, opts)
         if args.json:
             print(

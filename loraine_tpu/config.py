@@ -37,10 +37,12 @@ class Options:
       initpoint: 0 = simple identity start, 1 = SDPT3-like scaled start.
       timing: print per-phase timing tree at the end of the solve.
       maxit: IPM iteration limit.
-      datasparsity: nnz threshold below which a data matrix is *eligible* for
-        sparse handling. On TPU dense batched contraction usually wins; this
-        option is accepted for parity and reserved for the structured-sparse
-        Schur path.
+      datasparsity: nnz threshold driving the dense/sparse data-kernel split
+        (reference `src/model.jl:153-174`): matrices with at most this many
+        nonzeros are handled by the sparse gather path. None (default) =
+        TPU-tuned auto (threshold 64, applied only when n >= 256, where the
+        dense Schur contraction dominates); 0 = force dense; k > 0 =
+        explicit threshold (reference default is 8), applied at any n.
       dtype: 'float64' (default; IPM needs f64 late iterations) or 'float32'.
       pad_multiple: pad LMI block sizes up to a multiple of this (TPU tiling).
       step_eig: 'exact' batched eigh for steplengths, reserved for cheaper
@@ -61,7 +63,7 @@ class Options:
     initpoint: int = 0
     timing: int = 1
     maxit: int = 100
-    datasparsity: int = 8
+    datasparsity: Optional[int] = None
     # TPU-specific
     dtype: str = "float64"
     pad_multiple: int = 8
@@ -121,6 +123,9 @@ class Options:
         if o.datarank < -1:
             o.datarank = 0
             _warn(f"Parameter datarank out of range, setting datarank = {o.datarank}")
+        if o.datasparsity is not None and o.datasparsity < 0:
+            o.datasparsity = None
+            _warn("Parameter datasparsity negative, using automatic selection")
         if o.initpoint < 0 or o.initpoint > 1:
             o.initpoint = 1
             _warn(f"Parameter initpoint out of range, setting initpoint = {o.initpoint}")

@@ -280,6 +280,15 @@ class Solver:
             print(f"Dual objective:   {result.dual_objective}")
         if o.timing > 0 and o.verb > 0:
             print(self.timer.report())
+        if o.timing >= 2 and o.verb > 0:
+            # deep per-phase attribution (the reference's TimerOutputs tree,
+            # `src/Solvers.jl:467-476`, printed via `src/Loraine.jl:88-90`);
+            # re-times each phase standalone at a representative iterate, so
+            # it costs extra device work — opt-in by timing=2 / CLI --phases
+            from ..utils.diagnostics import format_phases, profile_phases
+
+            times = profile_phases(self.problem, o)
+            print(format_phases(times))
         return result
 
     def _extract(self, state, stats_h, status, it, cg_tot, solve_time, iteration_times) -> Result:
@@ -358,14 +367,26 @@ def solve_sdpa(path: str, options: Union[Options, Dict[str, Any], None] = None) 
         options = Options.from_dict(options)
     options = options.validated()
     dtype = jnp.float64 if options.dtype == "float64" else jnp.float32
-    # datasparsity = 0 means "treat all data as dense" (reference
-    # docs/src/Loraine_options.md:52-56); otherwise storage is auto-selected
-    storage = "dense" if options.datasparsity == 0 else "auto"
+    # datasparsity drives the dense/sparse data-kernel split as in the
+    # reference (`src/model.jl:153-174`, docs/src/Loraine_options.md:52-56):
+    # matrices are eligible for the sparse gather path when their nnz is at
+    # most the threshold. None (default) = TPU-tuned auto (threshold 64,
+    # only for n >= 256 where the dense Schur contraction dominates);
+    # 0 = force dense; k > 0 = explicit threshold, applied at any n.
+    ds = options.datasparsity
+    if ds == 0:
+        storage, thr, min_n = "dense", 64, 256
+    elif ds is None:
+        storage, thr, min_n = "auto", 64, 256
+    else:
+        storage, thr, min_n = "auto", int(ds), 0
     problem = problem_from_sdpa(
         path,
         datarank=options.datarank,
         pad_multiple=options.pad_multiple,
         dtype=dtype,
         storage=storage,
+        sparse_max_nnz=thr,
+        sparse_min_n=min_n,
     )
     return Solver(problem, options).solve()

@@ -28,6 +28,7 @@ from ..ops.eigh import eigh_backend_for, eigh_jacobi, eigh_mixed, eigmin_lanczos
 from ..ops.jacobi_pallas import eig_bounds_pallas, eigmin_pallas
 from ..ops.linalg import (
     btrace,
+    chol_blocked,
     chol_reg,
     cho_solve_inv,
     eigmin,
@@ -273,7 +274,7 @@ def build_step(opts: Options, precond_kind: int):
         when M is PD (one Cholesky), Gershgorin magnitude otherwise —
         iterates stay strictly feasible, so the exact-eig path would
         return 0 anyway except during numerical breakdown."""
-        L = jnp.linalg.cholesky(M)
+        L = chol_blocked(M)
         pd = jnp.logical_not(jnp.isnan(L).any(axis=(-1, -2)))
         gersh = jnp.min(
             jnp.diagonal(M, axis1=-2, axis2=-1)

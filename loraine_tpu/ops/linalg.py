@@ -17,6 +17,7 @@ from jax import lax
 
 __all__ = [
     "sym",
+    "chol_blocked",
     "chol_reg",
     "cho_solve",
     "tri_solve",
@@ -32,6 +33,57 @@ def sym(M: jax.Array) -> jax.Array:
     """Symmetrize on the last two axes (the reference's `mat`,
     `src/kron_etc.jl:13-18`)."""
     return (M + jnp.swapaxes(M, -1, -2)) / 2
+
+
+def chol_blocked(M: jax.Array, base: int = 128) -> jax.Array:
+    """Batched lower Cholesky via right-looking blocked elimination.
+
+    Why: XLA's TPU f64 Cholesky is the dominant per-iteration cost of the
+    direct IPM path at large n (measured on 1x v5e: 576 ms for one n=800
+    factorization, while an 800^3 f64 GEMM is ~4 ms) — its panel recursion
+    scalarizes badly under f64 emulation. This version keeps the sequential
+    part at `base` size (where XLA's factorization is cheap) and casts all
+    O(n^3) work as f64 GEMMs / multi-RHS triangular solves, which TPU
+    handles at full emulated-GEMM speed:
+
+        for each panel k:   D = T[:b,:b],  R = T[b:,:b]
+            L_kk = chol(D)
+            L_rk = R L_kk^{-T}            (one multi-RHS triangular solve)
+            T    = T[b:,b:] - L_rk L_rk^T (GEMM, the flop bulk)
+
+    NaN semantics match `jnp.linalg.cholesky`: an indefinite leading block
+    yields NaNs that propagate through every later panel, so `chol_reg`'s
+    NaN-keyed retry loop works unchanged. Backward error is the classical
+    blocked-Cholesky bound (same order as the unblocked factorization).
+    """
+    n = M.shape[-1]
+    if n <= base:
+        return jnp.linalg.cholesky(M)
+    batch = M.shape[:-2]
+    cols = []
+    T = M
+    k = 0
+    while k < n:
+        b = min(base, n - k)
+        D = T[..., :b, :b]
+        Ld = jnp.linalg.cholesky(D)
+        if k + b < n:
+            R = T[..., b:, :b]
+            Lr_t = jax.scipy.linalg.solve_triangular(
+                Ld, jnp.swapaxes(R, -1, -2), lower=True
+            )  # [..., b, n-k-b] = L_rk^T
+            Lr = jnp.swapaxes(Lr_t, -1, -2)
+            col = jnp.concatenate([Ld, Lr], axis=-2)  # [..., n-k, b]
+            T = T[..., b:, b:] - Lr @ Lr_t
+        else:
+            col = Ld
+        if k:
+            col = jnp.concatenate(
+                [jnp.zeros(batch + (k, b), dtype=M.dtype), col], axis=-2
+            )
+        cols.append(col)
+        k += b
+    return jnp.concatenate(cols, axis=-1)
 
 
 class CholResult(NamedTuple):
@@ -53,7 +105,7 @@ def chol_reg(M: jax.Array, eps, max_tries: int = 1000) -> CholResult:
     eye = jnp.eye(m, dtype=M.dtype)
 
     def attempt(Mc):
-        L = jnp.linalg.cholesky(Mc)
+        L = chol_blocked(Mc)
         bad = jnp.isnan(L).any(axis=(-1, -2))
         return L, bad
 

@@ -36,29 +36,51 @@ __all__ = [
     "ceil_log2",
 ]
 
-_TINY = 2.0**-1000  # avoids log of 0 for all-zero rows
+# Fiber-max clamp for slice_operand. 2**-400 (not the f64-min-adjacent
+# 2**-1000): it keeps every exponent handed to pow2_int within +-1024 by
+# construction (|e| <= max(400, 1026) + beta*s ~ 1005 for the largest
+# slicing configs), so no derived power of two ever leaves the exactly
+# representable range. Fibers with max below 2**-400 contribute < 2**-800
+# to any product — far below the dd (2**-106) resolution target.
+_TINY = 2.0**-400
 
 
 def pow2_int(e: jax.Array, dtype=jnp.float64) -> jax.Array:
-    """EXACT 2**e for integer arrays e (|e| <= 1000), built by repeated
-    squaring — every multiply of powers of two is exact in f64.
+    """EXACT 2**e for integer arrays e, built by repeated squaring — every
+    multiply of powers of two is exact in f64 (including subnormal powers
+    down to 2**-1074).
+
+    Domain: e in [-1022, 1023], the NORMAL f64 range; arguments outside are
+    CLAMPED to it (a jit-safe fail-stop: callers are documented to stay in
+    range, and a clamped value keeps everything finite instead of silently
+    returning a wrong scale — see the slice_operand invariant note). The
+    lower end is -1022, not the subnormal -1074: XLA flushes f64 subnormals
+    to zero (measured: 2**-1022 * 0.5 == 0.0 on CPU), so subnormal powers
+    of two are not representable at runtime.
 
     Why not frexp/ldexp: on TPU the f64 X64 rewriter cannot lower frexp's
     s64 bitcast (measured: compile error), and exp2 on emulated f64 is not
     guaranteed to hit exact powers of two. No value here ever becomes inf
-    (the TPU f64 emulation mishandles inf through where), because the
-    squaring chain stops at 2**512.
+    (the TPU f64 emulation mishandles inf through where): the negative
+    branch accumulates exact 0.5-powers directly (never forming 2**k for
+    k > 1023 and then dividing), and the positive branch is clamped below
+    2**1024.
     """
     neg = e < 0
     k = jnp.abs(e).astype(jnp.int32)
+    k = jnp.minimum(k, jnp.where(neg, 1022, 1023))  # both fit in 10 bits
+    # base two for positive e, one-half for negative: products of exact
+    # powers of two are exact in f64 in both directions (no subnormals
+    # are reached under the clamp, all intermediates stay normal)
+    two = jnp.where(neg, jnp.asarray(0.5, dtype), jnp.asarray(2.0, dtype))
     result = jnp.ones(e.shape, dtype=dtype)
-    base = jnp.full(e.shape, 2.0, dtype=dtype)
+    base = two
     for j in range(10):  # k < 1024
         result = jnp.where((k & 1) == 1, result * base, result)
         k = k >> 1
-        if j < 9:  # 2**512 is the largest base needed; never overflow
+        if j < 9:  # largest base needed: two**512
             base = base * base
-    return jnp.where(neg, 1.0 / result, result)
+    return result
 
 
 def ceil_log2(x: jax.Array) -> jax.Array:

@@ -80,6 +80,11 @@ def shard_problem(problem: SDPProblem, mesh: Mesh) -> SDPProblem:
                 nb=g.nb,
                 orig_sizes=g.orig_sizes,
                 orig_indices=g.orig_indices,
+                # host-side metadata must survive resharding: the initial
+                # point (initpoint=1) sizes X/S from these norms — dropping
+                # them produced zero-size state arrays
+                data_norms=g.data_norms,
+                C_norms=g.C_norms,
             )
         )
     return type(problem)(

@@ -261,6 +261,7 @@ def _build_problem(
     storage: str = "auto",
     max_dense_gb: float = 4.0,
     sparse_max_nnz: int = 64,
+    sparse_min_n: int = 256,
 ) -> SDPProblem:
     n = int(np.asarray(b).shape[0])
     nlmi = len(blocks)
@@ -297,7 +298,7 @@ def _build_problem(
                     f"data too large for dense storage and not very sparse "
                     f"(max {s_max} entries/matrix); using the sparse path anyway"
                 )
-        elif s_max <= sparse_max_nnz and n >= 256:
+        elif s_max <= sparse_max_nnz and n >= sparse_min_n:
             mode = "sparse"
         else:
             mode = "dense"
@@ -441,6 +442,8 @@ def problem_from_sdpa(
     dtype=jnp.float64,
     max_dense_gb: float = 4.0,
     storage: str = "auto",
+    sparse_max_nnz: int = 64,
+    sparse_min_n: int = 256,
 ) -> SDPProblem:
     """Convert SDPA data (min c^T x s.t. sum x_j F_j - F_0 >= 0) to the
     internal dual form: y = x, b = -c, A_j = -F_j, C = -F_0; diagonal blocks
@@ -492,6 +495,8 @@ def problem_from_sdpa(
         dtype=dtype,
         storage=storage,
         max_dense_gb=max_dense_gb,
+        sparse_max_nnz=sparse_max_nnz,
+        sparse_min_n=sparse_min_n,
     )
 
 

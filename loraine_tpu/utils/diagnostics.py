@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Options
-from ..ops.linalg import chol_reg, cho_solve_inv, sym, tri_inv
+from ..ops.linalg import chol_blocked, chol_reg, cho_solve_inv, sym, tri_inv
 from ..ops.nt_scaling import nt_scale
 from ..ops.schur import Aadj, Aop, lp_weight, schur_group, schur_lp
 
@@ -152,7 +152,7 @@ def profile_phases(
     def dimacs(X, S, y):
         err = jnp.zeros((), dtype=problem.b.dtype)
         for g, Xg, Sg in zip(problem.groups, X, S):
-            L = jnp.linalg.cholesky(jnp.concatenate([Xg, Sg], axis=0))
+            L = chol_blocked(jnp.concatenate([Xg, Sg], axis=0))
             err = err + jnp.sum(jnp.isnan(L).astype(problem.b.dtype))
             err = err + jnp.sum(jnp.einsum("bpq,bpq->b", Sg, Xg))
             err = err + jnp.sum(jnp.sqrt(jnp.sum((g.C - Sg) ** 2, axis=(-1, -2))))

@@ -54,3 +54,38 @@ def test_cli_solve_json(data_dir):
     payload = json.loads(line)
     assert payload["status"] == "OPTIMAL"
     np.testing.assert_allclose(payload["objective"], 23.0, rtol=1e-6)
+
+
+def test_timing2_prints_phase_breakdown(data_dir, capsys):
+    """timing=2 surfaces the per-phase device-time attribution
+    (utils/diagnostics.py; the reference's TimerOutputs tree,
+    `src/Solvers.jl:467-476`)."""
+    import loraine_tpu as lt
+
+    r = lt.solve_sdpa(
+        str(data_dir / "theta1.dat-s"),
+        {"eDIMACS": 1e-4, "timing": 2, "verb": 1},
+    )
+    out = capsys.readouterr().out
+    assert r.status == 1
+    assert "per-phase device times" in out
+    for phase in ("prepare_W", "Schur assembly", "H Cholesky",
+                  "find_step spectral", "full fused step"):
+        assert phase in out, f"missing phase row: {phase}"
+
+
+def test_profile_phases_returns_named_sections():
+    from loraine_tpu.utils.diagnostics import profile_phases, format_phases
+
+    rng = np.random.default_rng(3)
+    n, m = 8, 6
+    A = rng.standard_normal((n, m, m))
+    A = A + np.swapaxes(A, -1, -2)
+    C = np.eye(m) * m
+    import loraine_tpu as lt
+
+    p = lt.problem_from_dense([A], [C], rng.standard_normal(n), pad_multiple=2)
+    times = profile_phases(p, {"verb": 0}, repeats=2, iters=1)
+    assert "full fused step" in times and times["full fused step"] > 0
+    table = format_phases(times)
+    assert "ground truth" in table

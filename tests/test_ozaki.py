@@ -77,3 +77,33 @@ def test_acc_matmul_zero_rows():
     C = acc_matmul(jnp.asarray(A), jnp.asarray(B))
     assert np.all(np.isfinite(np.asarray(C.hi)))
     assert np.allclose(np.asarray(C.hi)[1:], 0.0)
+
+
+def test_pow2_int_full_domain():
+    """pow2_int is exact over the normal f64 range and clamps outside it
+    (advisor finding: the old 10-bit loop silently dropped bit 10 and the
+    1/result path hit XLA's subnormal flush-to-zero)."""
+    from loraine_tpu.ops.ozaki import pow2_int
+
+    es = np.array([0, 1, -1, 52, -52, 500, -500, 1000, -1000, 1022, -1022, 1023])
+    got = np.asarray(pow2_int(jnp.asarray(es)))
+    assert np.array_equal(got, np.array([2.0**e for e in es]))
+    # out-of-domain arguments clamp (finite, never inf/0/garbage scale)
+    es2 = np.array([1024, 2000, -1023, -1074, -2000])
+    got2 = np.asarray(pow2_int(jnp.asarray(es2)))
+    assert np.array_equal(
+        got2, np.array([2.0**min(max(e, -1022), 1023) for e in es2])
+    )
+
+
+def test_slice_operand_tiny_fibers_in_domain():
+    """Fibers with max near the _TINY clamp keep all derived exponents in
+    pow2_int's exact domain: slices reconstruct (up to the <2**-800
+    residual) and no wrong scales appear (advisor finding)."""
+    X = np.array([[2.0**-405, -(2.0**-420), 0.0, 2.0**-401],
+                  [1.0, 2.0, 3.0, 4.0]])
+    sl = slice_operand(jnp.asarray(X), -1, 21, 6)
+    recon = np.sum([np.asarray(s) for s in sl], axis=0)
+    assert np.all(np.isfinite(recon))
+    assert np.allclose(recon, X, rtol=0, atol=2.0**-800)
+    assert np.array_equal(recon[1], X[1])

@@ -87,3 +87,40 @@ def test_tru3_auto_routes_and_solves(data_dir):
     res_s = lt.solve(prob_sparse, {"kit": 0, "eDIMACS": 1e-7, "initpoint": 1, "verb": 0})
     assert res_s.status == 1
     np.testing.assert_allclose(res_s.objective, res.objective, rtol=1e-6)
+
+
+def test_datasparsity_option_drives_storage_split(tmp_path):
+    """`datasparsity` is the nnz threshold for the dense/sparse kernel split
+    (reference `src/model.jl:153-174`, docs/src/Loraine_options.md:52-56):
+    0 forces dense, an explicit k makes matrices with nnz <= k sparse at any
+    n, and the default (None) keeps the TPU-tuned auto heuristic."""
+    from loraine_tpu.config import Options
+    from loraine_tpu.problem import problem_from_sdpa
+
+    # tru3: sparse truss data (small support per matrix), n < 256 so the
+    # auto heuristic keeps it dense, but an explicit threshold flips it
+    path = "tests/data/tru3.dat-s"
+
+    def storage_for(opts):
+        o = Options.from_dict(opts).validated()
+        ds = o.datasparsity
+        if ds == 0:
+            sto, thr, min_n = "dense", 64, 256
+        elif ds is None:
+            sto, thr, min_n = "auto", 64, 256
+        else:
+            sto, thr, min_n = "auto", int(ds), 0
+        p = problem_from_sdpa(path, storage=sto, sparse_max_nnz=thr,
+                              sparse_min_n=min_n)
+        return [g.is_sparse for g in p.groups]
+
+    assert not any(storage_for({}))  # auto: n=87 < 256 -> dense
+    assert not any(storage_for({"datasparsity": 0}))  # force dense
+    assert all(storage_for({"datasparsity": 64}))  # explicit threshold
+    assert not any(storage_for({"datasparsity": 1}))  # threshold below nnz
+
+    # solves agree across the split
+    r_dense = lt.solve_sdpa(path, {"verb": 0, "eDIMACS": 1e-6, "datasparsity": 0})
+    r_sparse = lt.solve_sdpa(path, {"verb": 0, "eDIMACS": 1e-6, "datasparsity": 64})
+    assert r_dense.status == r_sparse.status == 1
+    np.testing.assert_allclose(r_dense.objective, r_sparse.objective, rtol=1e-6)
