@@ -269,19 +269,36 @@ def build_step(opts: Options, precond_kind: int):
     # it where the eigendecomposition is already being computed exactly.
     range_fn = eigrange_fn if _step_mode() == "pallas" else None
 
-    def psd_violation(M):
-        """max(0, -lambda_min) for the DIMACS err2/err4 terms: exactly 0
-        when M is PD (one Cholesky), Gershgorin magnitude otherwise —
-        iterates stay strictly feasible, so the exact-eig path would
-        return 0 anyway except during numerical breakdown."""
+    # err2/err4 strategy. In normal operation the iterates are strictly
+    # feasible BY CONSTRUCTION: steplengths come from lower bounds on the
+    # scaled-direction spectra (Pallas Gershgorin bound / exact eigenvalues
+    # / Cholesky bisection), so X + alpha*delX = G_x(D^(1/2)(I + alpha *
+    # scaleX)D^(1/2))G_x^T stays PD whenever alpha*|lambda_min bound| <=
+    # tau < 1 — the same rounding class at which the reference's
+    # eigmin-based err2/err4 report ~0 (`src/Solvers.jl:498-524`). The
+    # violations are therefore zero without any PD probe (saving a batched
+    # f64 Cholesky per iteration, ~70 ms at m=800). The certificate breaks
+    # down exactly when the NT scaling itself was regularized (chol shifts
+    # / congruent spectrum of S non-positive) — there, report the
+    # Gershgorin violation magnitude of the updated iterate (O(m^2), and
+    # honest about the breakdown: can overstate, never understate... it is
+    # a lower bound on lambda_min). 'lanczos' steplengths carry no
+    # certificate (see config.py), so that opt-in mode keeps the explicit
+    # Cholesky probe.
+    cert_mode = _step_mode() != "lanczos"
+
+    def gersh_violation(M):
+        """max(0, -gershgorin lower bound) per batch element."""
+        diag = jnp.diagonal(M, axis1=-2, axis2=-1)
+        gersh = jnp.min(diag - (jnp.sum(jnp.abs(M), axis=-1) - jnp.abs(diag)), axis=-1)
+        return jnp.maximum(0.0, -gersh)
+
+    def psd_violation(M, suspect):
+        if cert_mode:
+            return jnp.where(suspect, gersh_violation(M), 0.0)
         L = chol_blocked(M)
         pd = jnp.logical_not(jnp.isnan(L).any(axis=(-1, -2)))
-        gersh = jnp.min(
-            jnp.diagonal(M, axis1=-2, axis2=-1)
-            - (jnp.sum(jnp.abs(M), axis=-1) - jnp.abs(jnp.diagonal(M, axis1=-2, axis2=-1))),
-            axis=-1,
-        )
-        return jnp.where(pd, 0.0, jnp.maximum(0.0, -gersh))
+        return jnp.where(pd, 0.0, gersh_violation(M))
 
     def step(problem: SDPProblem, st: IPMState, tol_cg: jax.Array):
         dtype = problem.b.dtype
@@ -305,8 +322,10 @@ def build_step(opts: Options, precond_kind: int):
             for X, S in zip(st.X, st.S)
         )
         nt_ok = one.astype(bool)
+        nt_suspect = jnp.zeros((), dtype=bool)  # feasibility cert broken
         for nt in nts:
             nt_ok = jnp.logical_and(nt_ok, nt.ok)
+            nt_suspect = nt_suspect | nt.shifted | nt.s_indef
         Si_lin = (1.0 / st.S_lin) if nlin else None
         lpw = lp_weight(st.X_lin, Si_lin) if nlin else None
 
@@ -594,7 +613,7 @@ def build_step(opts: Options, precond_kind: int):
         trCX = jnp.zeros((), dtype=dtype)
         for g, X, S, Rd in zip(problem.groups, X_new, S_new, Rds):
             normC = jnp.sqrt(jnp.sum(g.C**2, axis=(-1, -2)))  # [nb]
-            viol = psd_violation(jnp.concatenate([X, S], axis=0))
+            viol = psd_violation(jnp.concatenate([X, S], axis=0), nt_suspect)
             violX, violS = viol[: X.shape[0]], viol[X.shape[0] :]
             err2 = err2 + jnp.sum(violX / (1.0 + normb))
             err3 = err3 + jnp.sum(

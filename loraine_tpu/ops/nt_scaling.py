@@ -11,9 +11,16 @@ Reference math (`src/prepare_W.jl:28-94`): per block,
     Si  = S^{-1}
     DDsi = diag(G^T S G)^{-1/2}
 
-On TPU this runs as one batched chol+chol+svd over the ``nb`` axis of a block
-group — no per-block loop. Cholesky failures are handled by the bounded
-1e-5*I shift loop (reference `try_cholesky`).
+TPU mapping: f64 Cholesky is latency-bound (~66 us per column on 1x v5e:
+the sequential panel recursion dominates, not flops), so the default 'eigh'
+method factors ONLY X — V and D^2 come from eigh(L_x^T S L_x) (the same V
+as svd(L_s^T L_x), since L_x^T S L_x = (L_s^T L_x)^T (L_s^T L_x)), S's
+positive-definiteness is read off the congruent eigenvalues (lam > 0 <=>
+S PD, Sylvester), and S^{-1} = G D^{-1} G^T exactly by the NT identities —
+one GEMM instead of chol(S) + two multi-RHS triangular solves. Cholesky
+failures on X are handled by the bounded 1e-5*I shift loop (reference
+`try_cholesky`); a congruent spectrum below -1e-2 (the reference's maximum
+total S shift, 1000 * 1e-5) marks the scaling not-ok, mirroring its give-up.
 """
 from __future__ import annotations
 
@@ -47,6 +54,8 @@ class NTScaling(NamedTuple):
     Si: jax.Array  # [nb, m, m]
     DDsi: jax.Array  # [nb, m]
     ok: jax.Array  # bool scalar
+    shifted: jax.Array  # bool scalar: Cholesky regularization was applied
+    s_indef: jax.Array  # bool scalar: congruent spectrum of S dipped <= 0
 
 
 def nt_scale(
@@ -59,48 +68,71 @@ def nt_scale(
 ) -> NTScaling:
     """Compute the NT scaling for a stacked group of blocks [nb, m, m].
 
-    X and S factorize in ONE batched Cholesky over a [2nb, m, m] stack —
-    on TPU the small-matrix decompositions are latency-bound, so halving
-    their count halves this phase.
-
     method:
-      'eigh' (default): V and D^2 from eigh(L_x^T S L_x) — the right
-        singular vectors / squared singular values of L_s^T L_x, without
-        instantiating the SVD codepath (XLA's f64 QDWH-SVD is a large,
-        slow-to-compile program on TPU; eigh alone suffices since U is
-        never used).
-      'svd': the reference formulation (`src/prepare_W.jl:37-47`).
+      'eigh' (default): V and D^2 from eigh(L_x^T S L_x); only X is
+        factorized (see module docstring).
+      'svd': the reference formulation (`src/prepare_W.jl:37-47`) —
+        chol(X) and chol(S), then svd(L_s^T L_x); S^{-1} by triangular
+        solves. Kept as the parity path.
     """
     nb, m = X.shape[0], X.shape[-1]
-    cboth = chol_reg(jnp.concatenate([X, S], axis=0), reg_eps, max_reg)
-    Lx, Ls = cboth.L[:nb], cboth.L[nb:]
 
     if method == "svd":
+        cboth = chol_reg(jnp.concatenate([X, S], axis=0), reg_eps, max_reg)
+        Lx, Ls = cboth.L[:nb], cboth.L[nb:]
         CC = jnp.swapaxes(Ls, -1, -2) @ Lx  # L_s^T L_x
         _, D, Vt = jnp.linalg.svd(CC)
         V = jnp.swapaxes(Vt, -1, -2)
+        ok = cboth.ok
+        shifted = cboth.shifts > 0
+        s_indef = jnp.zeros((), dtype=bool)
+
+        d_isqrt = 1.0 / jnp.sqrt(D)
+        G = (Lx @ V) * d_isqrt[..., None, :]
+        Gi = jnp.sqrt(D)[..., :, None] * jnp.swapaxes(
+            tri_solve(Lx, V, trans=True), -1, -2
+        )
+        W = G @ jnp.swapaxes(G, -1, -2)
+        eye = jnp.broadcast_to(jnp.eye(m, dtype=X.dtype), X.shape)
+        Si = sym(tri_solve(Ls, tri_solve(Ls, eye), trans=True))
     else:
+        cx = chol_reg(X, reg_eps, max_reg)
+        Lx = cx.L
         # eig(L_x^T S L_x) = V D^2 V^T with the same V as svd(L_s^T L_x)
         M = jnp.swapaxes(Lx, -1, -2) @ S @ Lx
         lam, V = _eigh(sym(M), eigh_backend)
-        D = jnp.sqrt(jnp.maximum(lam, 1e-300))
+        # Sylvester: S is PD iff every congruent eigenvalue is positive.
+        # Below -1e-2 (= the reference's maximum cumulative S shift,
+        # 1000 * 1e-5, `src/prepare_W.jl:5-26`) the scaling is declared
+        # failed; small negatives are clamped relative to the spectrum top,
+        # which acts like the reference's graduated +eps*I shifts.
+        lam_max = jnp.maximum(lam[..., -1:], 1e-300)
+        s_indef = (lam[..., 0] <= 0.0).any()
+        ok = jnp.logical_and(cx.ok, jnp.logical_not((lam[..., 0] < -1e-2).any()))
+        shifted = cx.shifts > 0
+        lam = jnp.maximum(lam, 1e-14 * lam_max)
+        D = jnp.sqrt(lam)
 
-    d_isqrt = 1.0 / jnp.sqrt(D)
-    G = (Lx @ V) * d_isqrt[..., None, :]
-    # Gi = D^{1/2} V^T Lx^{-1};  (Lx^{-T} V)^T = V^T Lx^{-1}
-    Gi = jnp.sqrt(D)[..., :, None] * jnp.swapaxes(tri_solve(Lx, V, trans=True), -1, -2)
-    W = G @ jnp.swapaxes(G, -1, -2)
-
-    eye = jnp.broadcast_to(jnp.eye(m, dtype=X.dtype), X.shape)
-    Si = tri_solve(Ls, tri_solve(Ls, eye), trans=True)
-    Si = sym(Si)
+        d_isqrt = 1.0 / jnp.sqrt(D)
+        G = (Lx @ V) * d_isqrt[..., None, :]
+        # Gi = D^{1/2} V^T Lx^{-1};  (Lx^{-T} V)^T = V^T Lx^{-1}
+        Gi = jnp.sqrt(D)[..., :, None] * jnp.swapaxes(
+            tri_solve(Lx, V, trans=True), -1, -2
+        )
+        W = G @ jnp.swapaxes(G, -1, -2)
+        # S^{-1} = G D^{-1} G^T (exact NT identity; error tracks the
+        # eigenbasis accuracy, same order as the triangular-solve inverse)
+        Si = sym((G / D[..., None, :]) @ jnp.swapaxes(G, -1, -2))
 
     # diag(G^T S G) without forming the full product
     SG = S @ G
     dd = jnp.einsum("...ma,...ma->...a", G, SG)
     DDsi = 1.0 / jnp.sqrt(dd)
 
-    return NTScaling(D=D, G=G, Gi=Gi, W=W, Si=Si, DDsi=DDsi, ok=cboth.ok)
+    return NTScaling(
+        D=D, G=G, Gi=Gi, W=W, Si=Si, DDsi=DDsi, ok=ok,
+        shifted=shifted, s_indef=s_indef,
+    )
 
 
 def lin_scale(S_lin: jax.Array) -> jax.Array:

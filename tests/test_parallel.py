@@ -114,4 +114,7 @@ def test_sharded_full_solve_kit1_halpha():
     mesh = make_mesh((2, 4))
     res = lt.solve(shard_problem(problem, mesh), dict(opts))
     assert ref.status == res.status == 1
-    np.testing.assert_allclose(res.objective, ref.objective, rtol=1e-7)
+    # sharded reductions round differently, so the two CG trajectories stop
+    # at different points inside the eDIMACS=1e-5 band; only agreement at
+    # the solve tolerance is guaranteed, not bitwise trajectory identity
+    np.testing.assert_allclose(res.objective, ref.objective, rtol=2e-6)
