@@ -81,6 +81,13 @@ class Options:
     #   sequential small-Cholesky latency on TPU makes it slower at runtime)
     step_eig: str = "auto"
     cg_maxiter: int = 10000
+    # kit=1 operator application: 'auto' materializes the Schur operator H
+    # and the H_alpha matrix densely when n <= 512 (each CG iteration = 3
+    # GEMVs instead of the ~20-kernel implicit per-block pipeline — a pure
+    # win on latency-bound small problems); 'never' keeps the matrix-free
+    # operator everywhere (the reference's regime, required at large n);
+    # 'always' forces materialization (testing/benchmarking).
+    cg_materialize: str = "auto"
     profile_dir: str = ""  # capture a jax.profiler trace of the solve
     nt_method: str = "eigh"  # 'eigh' (no SVD codepath) or 'svd' (reference)
     # 'pallas': single-kernel Pallas Jacobi f32 seed + f64 GEMM-only
@@ -142,6 +149,11 @@ class Options:
             raise ValueError(
                 "eigh_backend must be 'jacobi', 'mixed', 'xla', 'pallas', or "
                 f"'auto', got {o.eigh_backend!r}"
+            )
+        if o.cg_materialize not in ("auto", "never", "always"):
+            raise ValueError(
+                "cg_materialize must be 'auto', 'never', or 'always', got "
+                f"{o.cg_materialize!r}"
             )
         if o.precision not in ("f64", "dd"):
             raise ValueError(f"precision must be 'f64' or 'dd', got {o.precision!r}")

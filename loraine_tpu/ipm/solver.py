@@ -45,6 +45,17 @@ STATUS_NAMES = {
 }
 
 
+def _detect_mesh(problem: SDPProblem):
+    """Return the mesh a sharded problem was placed on (parallel/mesh.py's
+    shard_problem), or None for unsharded problems."""
+    from jax.sharding import NamedSharding
+
+    sh = getattr(problem.b, "sharding", None)
+    if isinstance(sh, NamedSharding) and "schur" in sh.mesh.axis_names:
+        return sh.mesh
+    return None
+
+
 def _fetch(x) -> np.ndarray:
     """device->host fetch that also works for arrays sharded across
     processes (multi-host runs): such arrays are reassembled with a
@@ -175,8 +186,12 @@ class Solver:
 
         precond_kind = o.preconditioner if o.kit == 1 else -1
         K = max(1, min(STEPS_PER_DISPATCH, o.maxit))
+        # sharded problems carry their mesh on the data; pass it to the step
+        # builder so the CG vectors are anchored to the schur axis (the
+        # distributed Schur solve — see build_step)
+        mesh = _detect_mesh(p)
         with self.timer.phase("build/compile step"):
-            chunk = jitted_chunk(o, precond_kind, K)
+            chunk = jitted_chunk(o, precond_kind, K, mesh=mesh)
 
         tol_cg = o.tol_cg
         status = 0
@@ -260,7 +275,7 @@ class Solver:
                 if o.verb > 0:
                     print("Switching to preconditioner 1")
                 with self.timer.phase("build/compile step"):
-                    chunk = jitted_chunk(o, precond_kind, K)
+                    chunk = jitted_chunk(o, precond_kind, K, mesh=mesh)
 
         if profiler_cm is not None:
             jax.block_until_ready(state)

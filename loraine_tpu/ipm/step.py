@@ -194,13 +194,35 @@ def _lin_dirs(
     return _LinDirs(delX=delX, delS=delS, alpha=_steplen(mX), beta=_steplen(mS))
 
 
-def build_step(opts: Options, precond_kind: int):
+def build_step(opts: Options, precond_kind: int, mesh=None):
     """Return step(problem, state, tol_cg) -> (new_state, StepStats).
 
     ``opts`` and ``precond_kind`` are static (the hybrid 4 -> 1 switch of
     `src/Solvers.jl:339-347` rebuilds the step once at the switch).
+
+    ``mesh``: when the problem data is sharded over a ('blocks', 'schur')
+    mesh, anchor the CG vectors to the schur (constraint) axis so GSPMD
+    keeps the data-operator contractions shard-local — without the
+    constraint the replicated CG carries make XLA all-gather the [n, m, m]
+    data stack on EVERY CG iteration (measured 20x step blow-up at n=2048).
+    This is the distributed Schur solve: H is never formed, each matvec
+    psums only [nb, m, m] partials over the schur axis.
     """
     kit = opts.kit
+    schur_sharded = (
+        mesh is not None
+        and "schur" in getattr(mesh, "axis_names", ())
+        and dict(getattr(mesh, "shape", {})).get("schur", 1) > 1
+    )
+
+    def _on_schur(x):
+        if not schur_sharded:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, PartitionSpec("schur"))
+        )
     # high-precision mode: Schur assembly, RHS contractions, and the Schur
     # solve's iterative refinement run in double-double (validated() forces
     # kit=0 for it); the TPU-native stand-in for MultiFloats Float64xN
@@ -433,26 +455,52 @@ def build_step(opts: Options, precond_kind: int):
 
                 dely = solve2(h)
         else:
-            def matvec(x):
-                r = jnp.zeros_like(x)
+            # Small-n regime dispatch: the implicit CG body costs ~15-25
+            # small kernels per iteration (per-block W mat(A^T x) W + SMW),
+            # which is pure dispatch latency on TPU when n and the blocks are
+            # tiny. Materializing the SAME Schur operator (one batched
+            # assembly per IPM iteration, the kit=0 einsums) and the SAME
+            # H_alpha matrix M = AAAATtau + t t^T (one n x n Cholesky) turns
+            # each CG iteration into 3 GEMVs. Operator and preconditioner are
+            # unchanged up to rounding — the CG trajectory and iteration
+            # counts stay comparable to the implicit route.
+            mat_cg = opts.cg_materialize == "always" or (
+                opts.cg_materialize == "auto" and problem.n <= 512
+            )
+            if mat_cg:
+                Hcg = jnp.zeros((problem.n, problem.n), dtype=dtype)
                 for g, nt in zip(problem.groups, nts):
-                    r = r + Aop(g, nt.W @ Aadj(g, x) @ nt.W)
+                    Hcg = Hcg + schur_group(g, nt.W, nt.G)
                 if nlin:
-                    r = r + problem.C_lin @ (lpw * (problem.C_lin.T @ x))
-                return r
+                    Hcg = Hcg + schur_lp(problem.C_lin, lpw)
+                Hcg = sym(Hcg)
+                matvec = lambda x: Hcg @ x
+            else:
+                def matvec(x):
+                    x = _on_schur(x)
+                    r = jnp.zeros_like(x)
+                    for g, nt in zip(problem.groups, nts):
+                        r = r + Aop(g, nt.W @ Aadj(g, x) @ nt.W)
+                    if nlin:
+                        r = r + problem.C_lin @ (lpw * (problem.C_lin.T @ x))
+                    return _on_schur(r)
 
             if precond_kind == 0:
-                precond = lambda x: x
+                precond = _on_schur
             elif precond_kind == 1:
                 pa = prep_alpha(
-                    problem, nts, lpw, opts.erank, opts.aamat, opts.eigh_backend
+                    problem, nts, lpw, opts.erank, opts.aamat,
+                    opts.eigh_backend, materialize=mat_cg,
                 )
-                precond = lambda x: pa.apply_with(problem, x)
+                precond = pa.apply if mat_cg else (
+                    lambda x: _on_schur(pa.apply_with(problem, _on_schur(x)))
+                )
             else:  # 2 or 4 (hybrid starts as beta)
                 pb = prep_beta(
                     problem, nts, lpw, opts.erank, opts.aamat, opts.eigh_backend
                 )
-                precond = pb.apply
+                precond = lambda x: _on_schur(pb.apply(x))
+            h = _on_schur(h)
             dely, cg_pre = pcg(matvec, h, precond, tol_cg, opts.cg_maxiter)
             solve2 = None  # corrector re-runs CG with the same preconditioner
 
@@ -561,7 +609,9 @@ def build_step(opts: Options, precond_kind: int):
             if kit == 0:
                 dely2 = solve2(h2)
             else:
-                dely2, cg_cor = pcg(matvec, h2, precond, tol_cg, opts.cg_maxiter)
+                dely2, cg_cor = pcg(
+                    matvec, _on_schur(h2), precond, tol_cg, opts.cg_maxiter
+                )
 
         # ---- corrector directions + final update
         dirs2 = tuple(
@@ -722,9 +772,9 @@ class _ChunkCarry(NamedTuple):
     switch: jax.Array
 
 
-def build_chunk(opts: Options, precond_kind: int, K: int):
+def build_chunk(opts: Options, precond_kind: int, K: int, mesh=None):
     """Return chunk(problem, state, tol_cg, it0, regcount0) -> ChunkResult."""
-    step = build_step(opts, precond_kind)
+    step = build_step(opts, precond_kind, mesh=mesh)
     hybrid = opts.kit == 1 and precond_kind == 4
 
     def chunk(problem: SDPProblem, state: IPMState, tol_cg, it0, regcount0):
@@ -805,17 +855,17 @@ def build_chunk(opts: Options, precond_kind: int, K: int):
 _CHUNK_CACHE = {}
 
 
-def jitted_chunk(opts: Options, precond_kind: int, K: int):
+def jitted_chunk(opts: Options, precond_kind: int, K: int, mesh=None):
     """Jitted chunked loop, cached like jitted_step (same trace-relevant
     key + eDIMACS/maxit/tol schedule, which are baked into the chunk)."""
     key = (
         tuple(getattr(opts, f) for f in _TRACE_RELEVANT),
         precond_kind, K, opts.eDIMACS, opts.maxit, opts.tol_cg_up,
-        opts.tol_cg_min,
+        opts.tol_cg_min, mesh,
     )
     fn = _CHUNK_CACHE.get(key)
     if fn is None:
-        fn = jax.jit(build_chunk(opts, precond_kind, K))
+        fn = jax.jit(build_chunk(opts, precond_kind, K, mesh=mesh))
         _CHUNK_CACHE[key] = fn
     return fn
 
@@ -827,7 +877,7 @@ _STEP_CACHE = {}
 # side of the loop and must NOT key the cache
 _TRACE_RELEVANT = (
     "kit", "erank", "aamat", "cg_maxiter", "nt_method", "dtype", "step_eig",
-    "eigh_backend", "precision",
+    "eigh_backend", "precision", "cg_materialize",
 )
 
 

@@ -19,9 +19,9 @@ __all__ = ["pcg"]
 class _CGCarry(NamedTuple):
     x: jax.Array
     r: jax.Array
-    z: jax.Array
     p: jax.Array
     rz: jax.Array
+    rr: jax.Array  # ||r||^2, carried so cond() is a scalar compare
     it: jax.Array
 
 
@@ -32,16 +32,23 @@ def pcg(
     tol: jax.Array,
     maxiter: int,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Solve A x = b with preconditioned CG. Returns (x, iterations)."""
-    normb = jnp.linalg.norm(b)
-    threshold = tol * normb
+    """Solve A x = b with preconditioned CG. Returns (x, iterations).
+
+    Latency-tuned for the TPU while-loop: ||r||^2 is carried (the stopping
+    test is a scalar compare, no norm kernel in cond), and the (rr, rz)
+    reductions are fused into one stacked sum per iteration.
+    """
+    threshold2 = tol * tol * jnp.vdot(b, b)
     x0 = jnp.zeros_like(b)
     r0 = b
     z0 = precond(r0)
-    carry0 = _CGCarry(x=x0, r=r0, z=z0, p=z0, rz=jnp.vdot(r0, z0), it=jnp.int32(0))
+    carry0 = _CGCarry(
+        x=x0, r=r0, p=z0, rz=jnp.vdot(r0, z0), rr=jnp.vdot(r0, r0),
+        it=jnp.int32(0),
+    )
 
     def cond(c: _CGCarry):
-        return jnp.logical_and(jnp.linalg.norm(c.r) > threshold, c.it < maxiter)
+        return jnp.logical_and(c.rr > threshold2, c.it < maxiter)
 
     def body(c: _CGCarry):
         Ap = matvec(c.p)
@@ -50,10 +57,11 @@ def pcg(
         x = c.x + alpha * c.p
         r = c.r - alpha * Ap
         z = precond(r)
-        rz = jnp.vdot(r, z)
+        both = jnp.stack([r, z]) @ r  # [rr, rz] in one reduction
+        rr, rz = both[0], both[1]
         beta = rz / c.rz
         p = z + beta * c.p
-        return _CGCarry(x=x, r=r, z=z, p=p, rz=rz, it=c.it + 1)
+        return _CGCarry(x=x, r=r, p=p, rz=rz, rr=rr, it=c.it + 1)
 
     out = lax.while_loop(cond, body, carry0)
     return out.x, out.it

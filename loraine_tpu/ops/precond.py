@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from ..problem import SDPProblem
 from .eigh import eigh_backend_for, eigh_jacobi, eigh_mixed
-from .linalg import chol_reg, cho_solve, sym
+from .linalg import chol_reg, cho_solve, sym, tri_inv
 from .nt_scaling import NTScaling
 from .schur import Aadj, Aop
 
@@ -42,7 +42,10 @@ def _eigh(M: jax.Array, backend: str):
         return eigh_mixed(M)
     return jnp.linalg.eigh(M)
 
-__all__ = ["BetaPrecond", "AlphaPrecond", "prep_beta", "prep_alpha"]
+__all__ = [
+    "BetaPrecond", "AlphaPrecond", "AlphaPrecondDense", "prep_beta",
+    "prep_alpha",
+]
 
 
 def _ttau(lam_s: jax.Array, aamat: int) -> jax.Array:
@@ -117,6 +120,19 @@ class AlphaPrecond(NamedTuple):
         return v - self._solve_tau(yy2)
 
 
+class AlphaPrecondDense(NamedTuple):
+    """H_alpha materialized as an n x n matrix: M = AAAATtau + t t^T with the
+    same t = A^T (U (x) Z) columns the SMW route builds. The apply is two
+    GEMVs against the inverse Cholesky factor — on latency-bound small-n
+    problems this replaces the SMW pipeline's ~10 per-block kernels per CG
+    iteration with 2. Identical operator to `AlphaPrecond` up to rounding."""
+
+    Mli: jax.Array  # inv(L) for M = L L^T
+
+    def apply(self, x: jax.Array) -> jax.Array:
+        return self.Mli.T @ (self.Mli @ x)
+
+
 def prep_alpha(
     problem: SDPProblem,
     nts: Tuple[NTScaling, ...],
@@ -124,6 +140,7 @@ def prep_alpha(
     erank: int,
     aamat: int,
     eigh_backend: str = "jacobi",
+    materialize: bool = False,
 ) -> AlphaPrecond:
     dtype = problem.b.dtype
     Us: List[jax.Array] = []
@@ -174,6 +191,17 @@ def prep_alpha(
             AU = jnp.einsum("bjpr,brl->bjpl", g.A, U)
             t_g = jnp.einsum("bpq,bjpl->jblq", Z, AU)
         tcols.append(t_g.reshape(problem.n, -1))
+    if materialize:
+        n = problem.n
+        M = s * jnp.eye(n, dtype=dtype)
+        if problem.nlin > 0:
+            M = M + (problem.C_lin * lpw[None, :]) @ problem.C_lin.T
+        if tcols:
+            t = jnp.concatenate(tcols, axis=1)  # [n, sizeS]
+            M = M + t @ t.T
+        cholM = chol_reg(sym(M), 1e-10, 50).L
+        return AlphaPrecondDense(Mli=tri_inv(cholM))
+
     if tcols:
         t = jnp.concatenate(tcols, axis=1)  # [n, sizeS]
         Ssmw = t.T @ solve_tau_mat(t)

@@ -312,6 +312,19 @@ def _build_problem(
         m_pad = _round_up(blk.m0, pad_multiple)
         buckets.setdefault(m_pad, []).append(i)
 
+    # Latency-bound tiny problems: every bucket adds a full set of per-group
+    # device ops to the fused step (NT scaling, steplengths, residuals, the
+    # CG while-loop body). For small blocks, ONE batched group at the max
+    # padded size is far cheaper on TPU than several thin groups — the extra
+    # padded FLOPs are noise next to per-op dispatch latency. Padding stays
+    # exact (identity tail), so this is purely a layout decision.
+    if len(buckets) > 1:
+        m_max = max(buckets)
+        merged_bytes = (n + 1) * nlmi * m_max * m_max * 8
+        if m_max <= 128 and merged_bytes <= 32 * 1024**2:
+            idxs = [i for k in sorted(buckets) for i in buckets[k]]
+            buckets = {m_max: idxs}
+
     groups = []
     for m_pad in sorted(buckets):
         idxs = buckets[m_pad]
