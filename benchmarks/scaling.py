@@ -22,6 +22,66 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def schur_axis_cg(sizes):
+    """Distributed Schur solve (kit=1 CG sharded over the constraint axis):
+    n >= 2000, single large-n dense data stack. H is never formed; each CG
+    matvec contracts the sharded [n, m, m] data shard-locally and psums only
+    [nb, m, m] partials (see ipm/step.py build_step `mesh`). Without the
+    AT layout + sharding constraints this path was 20x SLOWER sharded than
+    unsharded (XLA:CPU turned the partitioned vec@mat dot into a
+    single-threaded strided loop fusion inside the CG while-loop).
+
+    NOTE on efficiency numbers: virtual CPU devices share this host's
+    physical cores (2 here), so wall-clock speedup is bounded by the core
+    count, not the device count — the measurement validates that sharded
+    step time does not DEGRADE and that per-device memory shrinks; real
+    scaling needs real chips (ICI).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    import loraine_tpu as lt
+    from loraine_tpu.ipm.initial import initial_point
+    from loraine_tpu.ipm.step import build_step
+    from loraine_tpu.parallel.mesh import make_mesh, shard_problem, shard_state
+
+    rng = np.random.default_rng(1)
+    n, m = 2048, 64
+    A = rng.standard_normal((n, m, m))
+    A = (A + A.transpose(0, 2, 1)) / 2
+    C = rng.standard_normal((m, m))
+    C = C @ C.T + m * np.eye(m)
+    prob = lt.problem_from_dense([A], [C], rng.standard_normal(n))
+    opts = lt.Options(verb=0, kit=1, preconditioner=1,
+                      cg_materialize="never").validated()
+    st0 = initial_point(prob, opts)
+    tol = jnp.asarray(1e-2, dtype=prob.b.dtype)
+    results = []
+    base = None
+    for nd in sizes:
+        mesh = make_mesh((1, nd), jax.devices()[:nd])
+        step = jax.jit(build_step(opts, 1, mesh=mesh if nd > 1 else None))
+        sp = shard_problem(prob, mesh)
+        ss = shard_state(st0, prob, mesh)
+        out = step(sp, ss, tol)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = step(sp, ss, tol)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / 3
+        if base is None:
+            base = dt
+        results.append({
+            "case": "schur-cg-n2048", "devices": nd,
+            "step_ms": round(dt * 1e3, 1),
+            "vs_1dev": round(base / dt, 2),
+            "bytes_per_device_mb": round(2 * A.nbytes / nd / 1e6, 1),
+        })
+        print(json.dumps(results[-1]), flush=True)
+    return results
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -70,6 +130,7 @@ def main():
         results.append({"devices": nd, "step_ms": round(dt * 1e3, 2),
                         "speedup": round(base / dt, 2), "efficiency": round(eff, 3)})
         print(json.dumps(results[-1]), flush=True)
+    results += schur_axis_cg([s for s in (1, 2, 4, 8) if s <= ndev])
     return results
 
 

@@ -67,6 +67,12 @@ def Aadj(group: BlockGroup, y: jax.Array) -> jax.Array:
             out = jnp.zeros((group.m, group.m), dtype=w.dtype)
             return out.at[r.reshape(-1), c.reshape(-1)].add(wv.reshape(-1))
         return jax.vmap(scatter)(group.Arows, group.Acols, w)
+    if group.AT is not None:
+        # mat@vec via the j-major copy: keeps the contraction a real dot on
+        # XLA:CPU (vec@mat dots get fused into strided loop fusions; see the
+        # BlockGroup.AT field comment)
+        out = jnp.einsum("bkj,j->bk", group.AT, y)
+        return out.reshape(group.AT.shape[0], group.m, group.m)
     return jnp.einsum("j,bjpq->bpq", y, group.A)
 
 

@@ -71,6 +71,9 @@ def shard_problem(problem: SDPProblem, mesh: Mesh) -> SDPProblem:
                 A=None if g.A is None else _put(
                     g.A, mesh, P(baxname, "schur", None, None)
                 ),
+                AT=None if g.AT is None else _put(
+                    g.AT, mesh, P(baxname, None, "schur")
+                ),
                 B=None if g.B is None else _put(g.B, mesh, P(baxname, "schur", None)),
                 Bsgn=None if g.Bsgn is None else _put(g.Bsgn, mesh, P(baxname, "schur")),
                 Arows=None if g.Arows is None else _put(g.Arows, mesh, P(baxname, "schur", None)),

@@ -53,7 +53,7 @@ RANK1_TOL = 5.0e-6
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["C", "A", "B", "Bsgn", "Arows", "Acols", "Avals"],
+    data_fields=["C", "A", "B", "Bsgn", "Arows", "Acols", "Avals", "AT"],
     meta_fields=["m", "nb", "orig_sizes", "orig_indices", "data_norms", "C_norms"],
 )
 @dataclasses.dataclass
@@ -90,6 +90,13 @@ class BlockGroup:
     # and ||C_i||_F
     data_norms: Tuple[float, ...] = ()
     C_norms: Tuple[float, ...] = ()
+    # j-major transposed copy of dense A ([nb, m*m, n]) so the adjoint
+    # contraction Aadj = sum_j y_j A_j is a mat@vec dot in BOTH directions:
+    # XLA:CPU fuses vec@mat dots into single-threaded loop fusions with a
+    # strided reduction (catastrophic inside the CG while-loop of a sharded
+    # solve — measured 10x per-iteration blow-up at n=2048). Built only when
+    # the dense stack is moderate (<= ~1 GB); None otherwise.
+    AT: Optional[jax.Array] = None
 
     @property
     def is_rank1(self) -> bool:
@@ -382,10 +389,18 @@ def _build_problem(
             )
         else:
             data_norms = tuple(float(np.sqrt(np.sum(A**2))) for A in Astack)
+        ATnp = None
+        if mode == "dense":
+            Anp = np.stack(Astack)
+            if Anp.nbytes <= (1 << 30):
+                ATnp = np.ascontiguousarray(
+                    Anp.reshape(Anp.shape[0], Anp.shape[1], -1).transpose(0, 2, 1)
+                )
         groups.append(
             BlockGroup(
                 C=jnp.asarray(Cnp, dtype=dtype),
                 A=jnp.asarray(np.stack(Astack), dtype=dtype) if mode == "dense" else None,
+                AT=jnp.asarray(ATnp, dtype=dtype) if ATnp is not None else None,
                 B=jnp.asarray(np.stack(Bstack), dtype=dtype) if mode == "rank1" else None,
                 Bsgn=jnp.asarray(np.stack(Sgnstack), dtype=dtype) if mode == "rank1" else None,
                 Arows=jnp.asarray(Arows) if mode == "sparse" else None,
