@@ -99,6 +99,12 @@ class Options:
     # 'xla': pure-f64 QDWH (~10 s/call at m~800 on TPU);
     # 'auto': 'pallas' on TPU; on CPU jacobi below m=192, mixed above
     eigh_backend: str = "auto"
+    # Large-GEMM backend for the rank-1 Schur assembly: 'f64' (default)
+    # XLA's emulated-f64 GEMMs; 'int8' the exact integer Ozaki scheme on the
+    # int8 MXU (ops/int8gemm.py) — f64-equivalent accuracy, oracle-tested in
+    # tests/test_int8gemm.py. Opt-in pending a measured TPU win (the rank-1
+    # per-iteration profile is Cholesky-dominated; see docs/tpu_notes.md).
+    gemm_backend: str = "f64"
     # High-precision mode (the reference's MultiFloats Float64xN equivalent,
     # `README.md:37-54`): 'f64' plain float64; 'dd' double-double — Schur
     # assembly, RHS/residual contractions, and Schur-solve iterative
@@ -149,6 +155,10 @@ class Options:
             raise ValueError(
                 "eigh_backend must be 'jacobi', 'mixed', 'xla', 'pallas', or "
                 f"'auto', got {o.eigh_backend!r}"
+            )
+        if o.gemm_backend not in ("f64", "int8"):
+            raise ValueError(
+                f"gemm_backend must be 'f64' or 'int8', got {o.gemm_backend!r}"
             )
         if o.cg_materialize not in ("auto", "never", "always"):
             raise ValueError(

@@ -413,7 +413,7 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
             else:
                 H = jnp.zeros((problem.n, problem.n), dtype=dtype)
                 for g, nt in zip(problem.groups, nts):
-                    H = H + schur_group(g, nt.W, nt.G)
+                    H = H + schur_group(g, nt.W, nt.G, opts.gemm_backend)
                 if nlin:
                     H = H + schur_lp(problem.C_lin, lpw)
                 Hs = sym(H)
@@ -470,7 +470,7 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
             if mat_cg:
                 Hcg = jnp.zeros((problem.n, problem.n), dtype=dtype)
                 for g, nt in zip(problem.groups, nts):
-                    Hcg = Hcg + schur_group(g, nt.W, nt.G)
+                    Hcg = Hcg + schur_group(g, nt.W, nt.G, opts.gemm_backend)
                 if nlin:
                     Hcg = Hcg + schur_lp(problem.C_lin, lpw)
                 Hcg = sym(Hcg)
@@ -877,7 +877,7 @@ _STEP_CACHE = {}
 # side of the loop and must NOT key the cache
 _TRACE_RELEVANT = (
     "kit", "erank", "aamat", "cg_maxiter", "nt_method", "dtype", "step_eig",
-    "eigh_backend", "precision", "cg_materialize",
+    "eigh_backend", "precision", "cg_materialize", "gemm_backend",
 )
 
 

@@ -76,7 +76,9 @@ def Aadj(group: BlockGroup, y: jax.Array) -> jax.Array:
     return jnp.einsum("j,bjpq->bpq", y, group.A)
 
 
-def schur_group(group: BlockGroup, W: jax.Array, G: jax.Array) -> jax.Array:
+def schur_group(
+    group: BlockGroup, W: jax.Array, G: jax.Array, gemm_backend: str = "f64"
+) -> jax.Array:
     """[n, n] <- this group's contribution to H.
 
     Dense:   two batched GEMMs (T = W A W) + one [n,n] contraction.
@@ -86,10 +88,20 @@ def schur_group(group: BlockGroup, W: jax.Array, G: jax.Array) -> jax.Array:
              (`src/makeBBBB.jl:1-20`; the reference's factors are always
              sign-positive so its formula has no sign term).
     Sparse:  gather-based, see _schur_sparse.
+
+    ``gemm_backend='int8'`` routes the rank-1 path's two large GEMMs (the
+    FLOP bulk of maxG11/thetaG11-class assembly) through the int8-MXU Ozaki
+    GEMM (ops/int8gemm.py) instead of emulated f64.
     """
     if group.is_rank1:
-        BG = jnp.einsum("bjm,bmp->bjp", group.B, G)
-        P = jnp.einsum("bjp,bkp->bjk", BG, BG)
+        if gemm_backend == "int8":
+            from .int8gemm import matmul_f64_mxu
+
+            BG = matmul_f64_mxu(group.B, G)
+            P = matmul_f64_mxu(BG, jnp.swapaxes(BG, -1, -2))
+        else:
+            BG = jnp.einsum("bjm,bmp->bjp", group.B, G)
+            P = jnp.einsum("bjp,bkp->bjk", BG, BG)
         return jnp.einsum("bj,bk,bjk,bjk->jk", group.Bsgn, group.Bsgn, P, P)
     if group.is_sparse:
         return _schur_sparse(group, W)
