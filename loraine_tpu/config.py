@@ -109,9 +109,12 @@ class Options:
     # `README.md:37-54`): 'f64' plain float64; 'dd' double-double — Schur
     # assembly, RHS/residual contractions, and Schur-solve iterative
     # refinement run in ~2x working precision via error-free transforms and
-    # Ozaki-scheme sliced GEMMs (ops/dd.py, ops/ozaki.py). Direct solver
-    # (kit=0) only; pushes the attainable DIMACS floor ~2-3 digits below
-    # plain f64 at a constant-factor FLOP cost (all GEMM-shaped).
+    # Ozaki-scheme sliced GEMMs (ops/dd.py, ops/ozaki.py). Works on BOTH
+    # linear-system paths (kit=0 direct, and kit=1 where PCG is wrapped in
+    # dd iterative refinement, matching the reference's Float64xN-typed CG,
+    # `src/predictor_corrector.jl:131-134`); pushes the attainable DIMACS
+    # floor ~3 digits below plain f64 (theta1: 9.3e-14 vs 9.7e-10) at a
+    # constant-factor FLOP cost (all GEMM-shaped).
     precision: str = "f64"
 
     def validated(self) -> "Options":
@@ -167,9 +170,6 @@ class Options:
             )
         if o.precision not in ("f64", "dd"):
             raise ValueError(f"precision must be 'f64' or 'dd', got {o.precision!r}")
-        if o.precision == "dd" and o.kit == 1:
-            o.kit = 0
-            _warn("precision='dd' requires the direct solver, setting kit = 0")
         if o.precision == "dd" and o.dtype != "float64":
             raise ValueError("precision='dd' requires dtype='float64'")
         if o.pad_multiple < 1:

@@ -117,7 +117,13 @@ def _group_dirs(
     U_dd=None,
 ) -> _GroupDirs:
     """Directions and per-block steplengths (`find_step`,
-    `src/predictor_corrector.jl:248-293`)."""
+    `src/predictor_corrector.jl:248-293`).
+
+    In dd mode ``dely`` is a DD pair (see solve2): the lo part's sandwich
+    contribution keeps A(delX) = Rp exact past the f64 resolution of dely.
+    """
+    if dd_mode:
+        dely, dely_lo = dely.hi, dely.lo
     GT = jnp.swapaxes(nt.G, -1, -2)
     delS = Rd - Aadj(g, dely)
     if dd_mode:
@@ -129,6 +135,7 @@ def _group_dirs(
         # in both the RHS and the direction makes the cancellation exact
         # by construction:  delX = -T + W Aadj(dely) W (+ U).
         WAW = _sandwich_dd(nt.W, Aadj(g, dely), nt.W)
+        WAW = DD(WAW.hi, WAW.lo + nt.W @ Aadj(g, dely_lo) @ nt.W)
         acc = dd_add(dd_neg(T_dd), WAW)
         if not predict:
             acc = dd_add(acc, U_dd)
@@ -226,7 +233,11 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
     # high-precision mode: Schur assembly, RHS contractions, and the Schur
     # solve's iterative refinement run in double-double (validated() forces
     # kit=0 for it); the TPU-native stand-in for MultiFloats Float64xN
-    dd_mode = opts.precision == "dd" and kit == 0
+    # high-precision mode applies to BOTH linear-system paths: the direct
+    # route factors in f64 and refines with dd residuals; the CG route
+    # (kit=1) wraps PCG in dd iterative refinement (solve_cg_dd) — the
+    # TPU-native equivalent of the reference's Float64xN-typed CG
+    dd_mode = opts.precision == "dd"
 
     def _step_mode() -> str:
         mode = opts.step_eig
@@ -433,15 +444,22 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
                 def solve2(rhs_dd):
                     # mixed-precision iterative refinement: f64 factorization
                     # + double-double residuals -> forward error ~u instead
-                    # of u*cond(H) (cond(H) ~ 1/mu^2 near convergence)
+                    # of u*cond(H) (cond(H) ~ 1/mu^2 near convergence).
+                    # The solution is RETURNED in dd: rounding dely to f64
+                    # would re-introduce a Schur residual u*||H||*||dely||
+                    # into A(delX) = Rp (||H|| grows like 1/mu — the very
+                    # term the feasibility-exact construction cancels).
                     x = cho_solve_inv(Hli, rhs_dd.hi)
+                    xlo = jnp.zeros_like(x)
                     for _ in range(3):
                         Hx = acc_matvec(Hs_dd.hi, x)
-                        s = two_sum(Hx.hi, Hs_dd.lo @ x)
+                        s = two_sum(Hx.hi, Hs_dd.lo @ x + Hs_dd.hi @ xlo)
                         Hx = DD(s.hi, s.lo + Hx.lo)
                         r = dd_add(rhs_dd, dd_neg(Hx))
-                        x = x + cho_solve_inv(Hli, dd_to_f64(r))
-                    return x
+                        d = cho_solve_inv(Hli, dd_to_f64(r))
+                        snew = two_sum(x, d)
+                        x, xlo = snew.hi, snew.lo + xlo
+                    return DD(x, xlo)
 
                 dely = solve2(h_dd)
             else:
@@ -501,7 +519,46 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
                 )
                 precond = lambda x: _on_schur(pb.apply(x))
             h = _on_schur(h)
-            dely, cg_pre = pcg(matvec, h, precond, tol_cg, opts.cg_maxiter)
+            if dd_mode:
+                # dd on the CG path (lifts the round-1 kit=0 restriction;
+                # the reference runs its whole CG in Float64xN with an f64
+                # tolerance, `src/predictor_corrector.jl:131-134`): PCG in
+                # f64 + double-double iterative refinement — the residual
+                # of the dd RHS is re-solved with the SAME preconditioner,
+                # and the solution is accumulated in dd like the direct
+                # path's solve2.
+                def matvec_dd(x, xlo):
+                    acc = None
+                    for g, nt in zip(problem.groups, nts):
+                        M = Aadj(g, x)
+                        Mlo = Aadj(g, xlo)
+                        T = _sandwich_dd(nt.W, M, nt.W)
+                        T = DD(T.hi, T.lo + nt.W @ Mlo @ nt.W)
+                        r = Aop_dd(g, T.hi, T.lo)
+                        acc = r if acc is None else dd_add(acc, r)
+                    if nlin:
+                        u = problem.C_lin.T @ x + problem.C_lin.T @ xlo
+                        r = acc_matvec(problem.C_lin, lpw * u)
+                        acc = r if acc is None else dd_add(acc, r)
+                    return acc
+
+                def solve_cg_dd(rhs_dd):
+                    x, it0 = pcg(matvec, rhs_dd.hi, precond, tol_cg,
+                                 opts.cg_maxiter)
+                    xlo = jnp.zeros_like(x)
+                    iters = it0
+                    for _ in range(2):
+                        r = dd_add(rhs_dd, dd_neg(matvec_dd(x, xlo)))
+                        d, itr = pcg(matvec, dd_to_f64(r), precond, tol_cg,
+                                     opts.cg_maxiter)
+                        iters = iters + itr
+                        snew = two_sum(x, d)
+                        x, xlo = snew.hi, snew.lo + xlo
+                    return DD(x, xlo), iters
+
+                dely, cg_pre = solve_cg_dd(h_dd)
+            else:
+                dely, cg_pre = pcg(matvec, h, precond, tol_cg, opts.cg_maxiter)
             solve2 = None  # corrector re-runs CG with the same preconditioner
 
         # ---- predictor directions + steplengths
@@ -511,7 +568,10 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
             for g, nt, Rd, X, T in zip(problem.groups, nts, Rds, st.X, T_dds)
         )
         if nlin:
-            ld = _lin_dirs(problem, st, Si_lin, Rd_lin, dely, predict=True)
+            ld = _lin_dirs(
+                problem, st, Si_lin, Rd_lin,
+                dely.hi if dd_mode else dely, predict=True,
+            )
             alpha_lin, beta_lin = ld.alpha, ld.beta
         else:
             alpha_lin = beta_lin = one
@@ -589,7 +649,10 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
                     h2_dd,
                     acc_matvec(problem.C_lin, lpw * Rd_lin + st.X_lin + tmp),
                 )
-            dely2 = solve2(h2_dd)
+            if kit == 0:
+                dely2 = solve2(h2_dd)
+            else:
+                dely2, cg_cor = solve_cg_dd(h2_dd)
         else:
             U_dds = (None,) * ngroups
             h2 = Rp
@@ -626,7 +689,8 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
         )
         if nlin:
             ld2 = _lin_dirs(
-                problem, st, Si_lin, Rd_lin, dely2,
+                problem, st, Si_lin, Rd_lin,
+                dely2.hi if dd_mode else dely2,
                 predict=False, sig_mu=sig_mu, RNT_lin=RNT_lin,
             )
             alpha_lin2, beta_lin2 = ld2.alpha, ld2.beta
@@ -638,7 +702,7 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
             amin = jnp.minimum(amin, jnp.min(d.alpha))
             bmin = jnp.minimum(bmin, jnp.min(d.beta))
 
-        y_new = st.y + bmin * dely2
+        y_new = st.y + bmin * (dd_to_f64(dely2) if dd_mode else dely2)
         X_new = tuple(sym(X + amin * d.delX) for X, d in zip(st.X, dirs2))
         S_new = tuple(sym(S + bmin * d.delS) for S, d in zip(st.S, dirs2))
         if nlin:

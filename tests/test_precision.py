@@ -8,8 +8,10 @@ solve refinement, feasibility-exact directions) in double-double
 (`precision='dd'`, ops/dd.py + ops/ozaki.py).
 
 Measured floors on theta1 (tests/data, CPU): plain f64 bottoms out at
-DIMACS ~9.7e-10 and then diverges; dd reaches ~1.7e-13 with err1 pinned at
-machine epsilon. These tests lock in the qualitative gap."""
+DIMACS ~9.7e-10 and then diverges; dd reaches ~9.3e-14 (the Schur solution
+dely carried in dd pins err1 at ~1e-17; the residual floor is the true
+duality gap of the f64-stored iterates). These tests lock in the
+qualitative gap."""
 import numpy as np
 import pytest
 
@@ -31,14 +33,40 @@ def test_theta1_dd_beyond_f64_floor(data_dir):
     assert abs(r.objective - r.dual_objective) < 1e-9
 
 
-def test_dd_requires_direct_and_f64():
+def test_theta1_dd_floor_below_1e12(data_dir):
+    # round-2 floor: dd-carried dely keeps A(delX)=Rp exact past dely's f64
+    # resolution; measured best DIMACS 9.3e-14 (round 1: 1.7e-13)
+    r = lt.solve_sdpa(
+        str(data_dir / "theta1.dat-s"),
+        {"kit": 0, "eDIMACS": 5e-13, "initpoint": 1, "verb": 0,
+         "precision": "dd", "maxit": 30},
+    )
+    assert r.status == 1, r.status_name
+    assert r.dimacs < 5e-13
+
+
+def test_dd_requires_f64():
     with pytest.raises(ValueError):
         lt.Options(precision="dd", dtype="float32").validated()
-    with pytest.warns(UserWarning):
-        o = lt.Options(precision="dd", kit=1).validated()
-    assert o.kit == 0
+    # dd is supported on BOTH paths (reference runs Float64xN through its
+    # CG too, src/predictor_corrector.jl:131-134) — kit=1 must survive
+    o = lt.Options(precision="dd", kit=1).validated()
+    assert o.kit == 1
     with pytest.raises(ValueError):
         lt.Options(precision="qd").validated()
+
+
+def test_dd_on_cg_path(data_dir):
+    # dd kit=1: PCG wrapped in double-double iterative refinement. Must
+    # converge below the f64 kit=1 floor-class tolerance on theta1.
+    r = lt.solve_sdpa(
+        str(data_dir / "theta1.dat-s"),
+        {"precision": "dd", "kit": 1, "preconditioner": 1, "eDIMACS": 1e-9,
+         "tol_cg_min": 1e-9, "initpoint": 1, "verb": 0, "maxit": 40},
+    )
+    assert r.status == 1
+    np.testing.assert_allclose(r.objective, 23.0, rtol=1e-8)
+    assert r.dimacs < 1e-9
 
 
 def test_dd_mode_with_lp_cone_and_multiblock():
