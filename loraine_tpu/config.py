@@ -88,6 +88,14 @@ class Options:
     # operator everywhere (the reference's regime, required at large n);
     # 'always' forces materialization (testing/benchmarking).
     cg_materialize: str = "auto"
+    # CG loop implementation for the materialized small-n path: 'auto' /
+    # 'xla' the f64 device-loop CG (ops/cg.py; the materialized path runs
+    # it split-preconditioned at 6 ops per CG iteration); 'pallas' the
+    # single-kernel in-VMEM f32 PCG + f64 refinement (ops/pcg_pallas.py) —
+    # OPT-IN and only sound at loose tolerances: measured on control1, the
+    # split-preconditioned kappa reaches ~1e10 near convergence and the f32
+    # body stalls (docs/tpu_notes.md "Fused f32 PCG: measured limits").
+    cg_kernel: str = "auto"
     profile_dir: str = ""  # capture a jax.profiler trace of the solve
     nt_method: str = "eigh"  # 'eigh' (no SVD codepath) or 'svd' (reference)
     # 'pallas': single-kernel Pallas Jacobi f32 seed + f64 GEMM-only
@@ -105,6 +113,13 @@ class Options:
     # tests/test_int8gemm.py. Opt-in pending a measured TPU win (the rank-1
     # per-iteration profile is Cholesky-dominated; see docs/tpu_notes.md).
     gemm_backend: str = "f64"
+    # Cholesky backend for the large factorizations (Schur matrix H, NT
+    # scaling's chol(X)): 'f64' the blocked f64 factorization; 'mixed' f32
+    # MXU panels + f64 Newton refinement with per-panel f64 fallback
+    # (ops/mixed_chol.py — measured ~75x panel speedup on v5e, identical
+    # NaN/shift semantics); 'auto' = mixed on TPU for blocks >= 192, f64
+    # otherwise (CPU always f64).
+    chol_backend: str = "auto"
     # High-precision mode (the reference's MultiFloats Float64xN equivalent,
     # `README.md:37-54`): 'f64' plain float64; 'dd' double-double — Schur
     # assembly, RHS/residual contractions, and Schur-solve iterative
@@ -162,6 +177,16 @@ class Options:
         if o.gemm_backend not in ("f64", "int8"):
             raise ValueError(
                 f"gemm_backend must be 'f64' or 'int8', got {o.gemm_backend!r}"
+            )
+        if o.chol_backend not in ("auto", "f64", "mixed"):
+            raise ValueError(
+                f"chol_backend must be 'auto', 'f64', or 'mixed', got "
+                f"{o.chol_backend!r}"
+            )
+        if o.cg_kernel not in ("auto", "xla", "pallas"):
+            raise ValueError(
+                f"cg_kernel must be 'auto', 'xla', or 'pallas', got "
+                f"{o.cg_kernel!r}"
             )
         if o.cg_materialize not in ("auto", "never", "always"):
             raise ValueError(

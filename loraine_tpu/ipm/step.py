@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..config import Options
 from ..problem import SDPProblem
-from ..ops.cg import pcg
+from ..ops.cg import cg_plain, pcg
 from ..ops.dd import DD, dd_add, dd_neg, dd_sum, dd_to_f64, two_prod, two_sum
 from ..ops.eigh import eigh_backend_for, eigh_jacobi, eigh_mixed, eigmin_lanczos
 from ..ops.jacobi_pallas import eig_bounds_pallas, eigmin_pallas
@@ -351,7 +351,8 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
 
         # ---- NT scaling (prepare_W)
         nts = tuple(
-            nt_scale(X, S, method=opts.nt_method, eigh_backend=opts.eigh_backend)
+            nt_scale(X, S, method=opts.nt_method, eigh_backend=opts.eigh_backend,
+                     chol_backend=opts.chol_backend)
             for X, S in zip(st.X, st.S)
         )
         nt_ok = one.astype(bool)
@@ -433,7 +434,7 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
             # variants were measured WORSE on badly-scaled problems (tru9:
             # stall at 1.4e-7 with 1e-4 absolute vs 4e-6 with a clamped
             # relative shift); sub-f64 floors are precision='dd' territory.
-            hc = chol_reg(Hs, 1e-4, 1000)
+            hc = chol_reg(Hs, 1e-4, 1000, backend=opts.chol_backend)
             h_shifts, h_ok = hc.shifts, hc.ok
             # explicit inv(L): the 4 sequential single-RHS triangular solves
             # per iteration become GEMVs; iterative refinement (below)
@@ -505,6 +506,7 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
 
             if precond_kind == 0:
                 precond = _on_schur
+                Mli_mat = None
             elif precond_kind == 1:
                 pa = prep_alpha(
                     problem, nts, lpw, opts.erank, opts.aamat,
@@ -513,11 +515,61 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
                 precond = pa.apply if mat_cg else (
                     lambda x: _on_schur(pa.apply_with(problem, _on_schur(x)))
                 )
+                Mli_mat = pa.Mli if mat_cg else None
             else:  # 2 or 4 (hybrid starts as beta)
                 pb = prep_beta(
                     problem, nts, lpw, opts.erank, opts.aamat, opts.eigh_backend
                 )
                 precond = lambda x: _on_schur(pb.apply(x))
+                # beta is diagonal: its inverse-Cholesky factor is
+                # diag(1/sqrt(d)), so the Pallas kernel's z = Mli^T Mli r
+                # reproduces r / d exactly
+                Mli_mat = jnp.diag(1.0 / jnp.sqrt(pb.diag)) if mat_cg else None
+
+            # Fused in-VMEM PCG (ops/pcg_pallas.py): one kernel per solve
+            # instead of ~5 XLA ops per CG iteration inside a device loop.
+            # Applies to the materialized unsharded f64 path; dd mode keeps
+            # the XLA loop (its refinement needs dd-resolution inner solves).
+            # The f32 kernel's per-pass residual floor is ~u32 * kappa of
+            # the SPLIT-preconditioned system; measured on control1,
+            # kappa(Mli H Mli^T) reaches 7e9-1e10 near convergence (H_alpha
+            # does not bound the preconditioned spectrum as mu -> 0) and the
+            # f32 body stalls/diverges there — so the kernel is OPT-IN for
+            # loose-tolerance solves only ('auto' keeps the f64 CG; see
+            # docs/tpu_notes.md "Fused f32 PCG: measured limits").
+            use_pallas_cg = (
+                mat_cg
+                and not dd_mode
+                and not schur_sharded
+                and opts.cg_kernel == "pallas"
+            )
+            if use_pallas_cg:
+                from ..ops.pcg_pallas import pcg_pallas_mixed
+
+                Mli_cg = (
+                    jnp.eye(problem.n, dtype=dtype) if Mli_mat is None else Mli_mat
+                )
+                solve_cg = lambda rhs: pcg_pallas_mixed(
+                    Hcg, Mli_cg, rhs, tol_cg, opts.cg_maxiter
+                )
+            elif mat_cg and not dd_mode and Mli_mat is not None:
+                # split-preconditioned f64 CG: solve (Mli H Mli^T) u = Mli b,
+                # x = Mli^T u — the same Krylov iterates as PCG with
+                # M = Mli^T Mli, at 6 ops per CG iteration instead of 9
+                # (measured 182 vs 265 us/iter on v5e; every op at this size
+                # is pure launch latency)
+                MliT = jnp.swapaxes(Mli_mat, -1, -2)
+                Hp = sym(Mli_mat @ Hcg @ MliT)
+
+                def solve_cg(rhs):
+                    u, it = cg_plain(
+                        lambda v: Hp @ v, Mli_mat @ rhs, tol_cg, opts.cg_maxiter
+                    )
+                    return MliT @ u, it
+            else:
+                solve_cg = lambda rhs: pcg(
+                    matvec, _on_schur(rhs), precond, tol_cg, opts.cg_maxiter
+                )
             h = _on_schur(h)
             if dd_mode:
                 # dd on the CG path (lifts the round-1 kit=0 restriction;
@@ -558,7 +610,7 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
 
                 dely, cg_pre = solve_cg_dd(h_dd)
             else:
-                dely, cg_pre = pcg(matvec, h, precond, tol_cg, opts.cg_maxiter)
+                dely, cg_pre = solve_cg(h)
             solve2 = None  # corrector re-runs CG with the same preconditioner
 
         # ---- predictor directions + steplengths
@@ -672,9 +724,7 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
             if kit == 0:
                 dely2 = solve2(h2)
             else:
-                dely2, cg_cor = pcg(
-                    matvec, _on_schur(h2), precond, tol_cg, opts.cg_maxiter
-                )
+                dely2, cg_cor = solve_cg(h2)
 
         # ---- corrector directions + final update
         dirs2 = tuple(
@@ -942,6 +992,7 @@ _STEP_CACHE = {}
 _TRACE_RELEVANT = (
     "kit", "erank", "aamat", "cg_maxiter", "nt_method", "dtype", "step_eig",
     "eigh_backend", "precision", "cg_materialize", "gemm_backend",
+    "chol_backend", "cg_kernel",
 )
 
 

@@ -13,7 +13,41 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["pcg"]
+__all__ = ["pcg", "cg_plain"]
+
+
+def cg_plain(
+    matvec: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    tol: jax.Array,
+    maxiter: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Unpreconditioned CG, latency-lean: 6 ops per iteration (one matvec,
+    two scalar reductions, three axpys). Used by the materialized small-n
+    path on the SPLIT-preconditioned system Hp = Mli H Mli^T, which has the
+    same Krylov iterates (hence iteration counts) as `pcg` on H with
+    M = Mli^T Mli — each op on TPU costs ~30 us of launch latency
+    regardless of size, so fewer ops is the whole game at small n."""
+    threshold2 = tol * tol * jnp.vdot(b, b)
+
+    def cond(c: _CGCarry):
+        return jnp.logical_and(c.rr > threshold2, c.it < maxiter)
+
+    def body(c: _CGCarry):
+        Ap = matvec(c.p)
+        alpha = c.rr / jnp.vdot(c.p, Ap)
+        x = c.x + alpha * c.p
+        r = c.r - alpha * Ap
+        rr = jnp.vdot(r, r)
+        p = r + (rr / c.rr) * c.p
+        return _CGCarry(x=x, r=r, p=p, rz=rr, rr=rr, it=c.it + 1)
+
+    carry0 = _CGCarry(
+        x=jnp.zeros_like(b), r=b, p=b, rz=jnp.vdot(b, b), rr=jnp.vdot(b, b),
+        it=jnp.int32(0),
+    )
+    out = lax.while_loop(cond, body, carry0)
+    return out.x, out.it
 
 
 class _CGCarry(NamedTuple):

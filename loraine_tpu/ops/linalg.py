@@ -18,6 +18,7 @@ from jax import lax
 __all__ = [
     "sym",
     "chol_blocked",
+    "chol_backend_for",
     "chol_reg",
     "cho_solve",
     "tri_solve",
@@ -92,7 +93,21 @@ class CholResult(NamedTuple):
     ok: jax.Array  # bool scalar: all factorizations succeeded
 
 
-def chol_reg(M: jax.Array, eps, max_tries: int = 1000) -> CholResult:
+def chol_backend_for(backend: str, n: int) -> str:
+    """Resolve the 'auto' Cholesky backend: mixed-precision panels on TPU
+    for matrices large enough that XLA's f64 factorization latency dominates
+    (measured crossover well below 192 on v5e; tiny blocks stay f64 — the
+    mixed path's extra ops cost more than they save there)."""
+    if backend == "auto":
+        if jax.default_backend() == "tpu" and n >= 192:
+            return "mixed"
+        return "f64"
+    return backend
+
+
+def chol_reg(
+    M: jax.Array, eps, max_tries: int = 1000, backend: str = "f64"
+) -> CholResult:
     """Cholesky with bounded diagonal-shift regularization.
 
     Failing batch elements get ``eps * I`` added repeatedly (up to
@@ -100,12 +115,21 @@ def chol_reg(M: jax.Array, eps, max_tries: int = 1000) -> CholResult:
     of `try_cholesky` / the Schur regularization loop, vectorized over the
     batch so only failing blocks are shifted. ``eps`` may be a Python float
     or a traced scalar (used for the relative H shift in the IPM step).
+
+    ``backend``: 'f64' (blocked f64 factorization), 'mixed' (f32 MXU panels
+    + f64 Newton refinement, ops/mixed_chol.py), or 'auto' (size/backend
+    heuristic via `chol_backend_for`). The mixed path falls back to f64
+    per panel on ill-conditioning, so NaN/shift semantics are identical.
     """
     m = M.shape[-1]
     eye = jnp.eye(m, dtype=M.dtype)
+    if chol_backend_for(backend, m) == "mixed":
+        from .mixed_chol import chol_mixed_blocked as _chol
+    else:
+        _chol = chol_blocked
 
     def attempt(Mc):
-        L = chol_blocked(Mc)
+        L = _chol(Mc)
         bad = jnp.isnan(L).any(axis=(-1, -2))
         return L, bad
 

@@ -65,6 +65,7 @@ def nt_scale(
     max_reg: int = 1000,
     method: str = "eigh",
     eigh_backend: str = "jacobi",
+    chol_backend: str = "f64",
 ) -> NTScaling:
     """Compute the NT scaling for a stacked group of blocks [nb, m, m].
 
@@ -78,7 +79,10 @@ def nt_scale(
     nb, m = X.shape[0], X.shape[-1]
 
     if method == "svd":
-        cboth = chol_reg(jnp.concatenate([X, S], axis=0), reg_eps, max_reg)
+        cboth = chol_reg(
+            jnp.concatenate([X, S], axis=0), reg_eps, max_reg,
+            backend=chol_backend,
+        )
         Lx, Ls = cboth.L[:nb], cboth.L[nb:]
         CC = jnp.swapaxes(Ls, -1, -2) @ Lx  # L_s^T L_x
         _, D, Vt = jnp.linalg.svd(CC)
@@ -96,7 +100,7 @@ def nt_scale(
         eye = jnp.broadcast_to(jnp.eye(m, dtype=X.dtype), X.shape)
         Si = sym(tri_solve(Ls, tri_solve(Ls, eye), trans=True))
     else:
-        cx = chol_reg(X, reg_eps, max_reg)
+        cx = chol_reg(X, reg_eps, max_reg, backend=chol_backend)
         Lx = cx.L
         # eig(L_x^T S L_x) = V D^2 V^T with the same V as svd(L_s^T L_x)
         M = jnp.swapaxes(Lx, -1, -2) @ S @ Lx
