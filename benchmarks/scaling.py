@@ -14,12 +14,37 @@ measures the real thing.
 """
 import json
 import os
+import re
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+
+_DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+                "pred": 1, "s8": 1, "u8": 1, "c64": 8, "c128": 16}
+
+
+def collective_bytes(compiled_text: str) -> dict:
+    """Static collective-traffic accounting from compiled HLO: counts and
+    output bytes of every cross-device op. Makes pod behavior predictable
+    from a single chip (the virtual-CPU mesh shares 2 physical cores, so
+    wall-clock here says nothing about ICI; bytes/step do)."""
+    out = {}
+    pat = re.compile(
+        r"(\w+)\[([\d,]*)\][^=]*=\s*(all-gather|all-reduce|reduce-scatter|"
+        r"collective-permute|all-to-all)\("
+    )
+    for m in pat.finditer(compiled_text):
+        dt, dims, op = m.group(1), m.group(2), m.group(3)
+        size = _DTYPE_BYTES.get(dt, 8)
+        for d in filter(None, dims.split(",")):
+            size *= int(d)
+        rec = out.setdefault(op, {"count": 0, "bytes": 0})
+        rec["count"] += 1
+        rec["bytes"] += size
+    return out
 
 
 def schur_axis_cg(sizes):
@@ -63,11 +88,12 @@ def schur_axis_cg(sizes):
         step = jax.jit(build_step(opts, 1, mesh=mesh if nd > 1 else None))
         sp = shard_problem(prob, mesh)
         ss = shard_state(st0, prob, mesh)
-        out = step(sp, ss, tol)
+        compiled = step.lower(sp, ss, tol).compile()
+        out = compiled(sp, ss, tol)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
         for _ in range(3):
-            out = step(sp, ss, tol)
+            out = compiled(sp, ss, tol)
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / 3
         if base is None:
@@ -77,6 +103,62 @@ def schur_axis_cg(sizes):
             "step_ms": round(dt * 1e3, 1),
             "vs_1dev": round(base / dt, 2),
             "bytes_per_device_mb": round(2 * A.nbytes / nd / 1e6, 1),
+            "collectives": collective_bytes(compiled.as_text()) if nd > 1 else {},
+        })
+        print(json.dumps(results[-1]), flush=True)
+    return results
+
+
+def schur_axis_direct(sizes):
+    """Distributed DIRECT Schur solve (kit=0, n >= 2000): H is assembled
+    with rows sharded over the schur axis and factorized by the distributed
+    blocked Cholesky + tri_inv (ops/linalg.py `shard=`): the b x b panel
+    work replicates (tiny), every O(n^3) GEMM runs shard-local, and GSPMD
+    moves one [*, b] panel per step — H is never gathered whole (the
+    round-2 fallback this replaces). Reported bytes/device cover the
+    dominant per-device arrays (data shard + H/L/Li row shards)."""
+    import jax
+    import jax.numpy as jnp
+
+    import loraine_tpu as lt
+    from loraine_tpu.ipm.initial import initial_point
+    from loraine_tpu.ipm.step import build_step
+    from loraine_tpu.parallel.mesh import make_mesh, shard_problem, shard_state
+
+    rng = np.random.default_rng(2)
+    n, m = 2048, 64
+    A = rng.standard_normal((n, m, m))
+    A = (A + A.transpose(0, 2, 1)) / 2
+    C = rng.standard_normal((m, m))
+    C = C @ C.T + m * np.eye(m)
+    prob = lt.problem_from_dense([A], [C], rng.standard_normal(n))
+    opts = lt.Options(verb=0, kit=0).validated()
+    st0 = initial_point(prob, opts)
+    tol = jnp.asarray(1e-2, dtype=prob.b.dtype)
+    results = []
+    base = None
+    for nd in sizes:
+        mesh = make_mesh((1, nd), jax.devices()[:nd])
+        step = jax.jit(build_step(opts, -1, mesh=mesh if nd > 1 else None))
+        sp = shard_problem(prob, mesh)
+        ss = shard_state(st0, prob, mesh)
+        compiled = step.lower(sp, ss, tol).compile()
+        out = compiled(sp, ss, tol)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = compiled(sp, ss, tol)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / 3
+        if base is None:
+            base = dt
+        h_bytes = 3 * (n * n // nd) * 8  # H + L + Li row shards
+        results.append({
+            "case": "schur-direct-n2048", "devices": nd,
+            "step_ms": round(dt * 1e3, 1),
+            "vs_1dev": round(base / dt, 2),
+            "bytes_per_device_mb": round((A.nbytes / nd + h_bytes) / 1e6, 1),
+            "collectives": collective_bytes(compiled.as_text()) if nd > 1 else {},
         })
         print(json.dumps(results[-1]), flush=True)
     return results
@@ -131,6 +213,7 @@ def main():
                         "speedup": round(base / dt, 2), "efficiency": round(eff, 3)})
         print(json.dumps(results[-1]), flush=True)
     results += schur_axis_cg([s for s in (1, 2, 4, 8) if s <= ndev])
+    results += schur_axis_direct([s for s in (1, 2, 4, 8) if s <= ndev])
     return results
 
 

@@ -65,7 +65,7 @@ from .problem import (
     problem_from_sdpa,
 )
 from .ipm.admm import ADMMResult, solve_admm
-from .ipm.solver import Result, Solver, solve, solve_json, solve_sdpa
+from .ipm.solver import Result, Solver, load_problem, solve, solve_json, solve_sdpa
 from .ipm.state import IPMState
 from .utils.checkpoint import load_state, save_state
 
@@ -90,6 +90,7 @@ __all__ = [
     "Solver",
     "solve",
     "solve_sdpa",
+    "load_problem",
     "solve_json",
     "solve_admm",
     "ADMMResult",

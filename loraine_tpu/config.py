@@ -88,13 +88,18 @@ class Options:
     # operator everywhere (the reference's regime, required at large n);
     # 'always' forces materialization (testing/benchmarking).
     cg_materialize: str = "auto"
-    # CG loop implementation for the materialized small-n path: 'auto' /
-    # 'xla' the f64 device-loop CG (ops/cg.py; the materialized path runs
-    # it split-preconditioned at 6 ops per CG iteration); 'pallas' the
-    # single-kernel in-VMEM f32 PCG + f64 refinement (ops/pcg_pallas.py) —
-    # OPT-IN and only sound at loose tolerances: measured on control1, the
-    # split-preconditioned kappa reaches ~1e10 near convergence and the f32
-    # body stalls (docs/tpu_notes.md "Fused f32 PCG: measured limits").
+    # CG loop implementation for the materialized small-n path:
+    # 'auto' = 'ff' on TPU, 'xla' elsewhere.
+    # 'xla': f64 device-loop CG (ops/cg.py; the materialized path runs it
+    #   split-preconditioned at 6 ops per CG iteration).
+    # 'ff': single-kernel in-VMEM float-float (2xf32, ~2^-47) CG + f64
+    #   refinement (ops/pcg_pallas.py) — one Pallas kernel per solve instead
+    #   of ~6 XLA ops per CG iteration; precise enough for the measured
+    #   late-IPM conditioning (kappa ~ 1e10). TPU-only: Mosaic preserves the
+    #   error-free transforms, XLA:CPU does not.
+    # 'pallas': the plain-f32 kernel — OPT-IN and only sound at loose
+    #   tolerances: its floor is ~u32 * kappa and it stalls near convergence
+    #   (docs/tpu_notes.md "Fused f32 PCG: measured limits").
     cg_kernel: str = "auto"
     profile_dir: str = ""  # capture a jax.profiler trace of the solve
     nt_method: str = "eigh"  # 'eigh' (no SVD codepath) or 'svd' (reference)
@@ -130,6 +135,10 @@ class Options:
     # `src/predictor_corrector.jl:131-134`); pushes the attainable DIMACS
     # floor ~3 digits below plain f64 (theta1: 9.3e-14 vs 9.7e-10) at a
     # constant-factor FLOP cost (all GEMM-shaped).
+    # 'dd2' additionally STORES the iterates (X, S, y, LP variables) as
+    # double-double pairs and runs every residual/update on the pairs —
+    # the x4-class tier: the DIMACS floor is no longer pinned by f64
+    # iterate storage (direct path only; see docs/precision.md).
     precision: str = "f64"
 
     def validated(self) -> "Options":
@@ -183,9 +192,9 @@ class Options:
                 f"chol_backend must be 'auto', 'f64', or 'mixed', got "
                 f"{o.chol_backend!r}"
             )
-        if o.cg_kernel not in ("auto", "xla", "pallas"):
+        if o.cg_kernel not in ("auto", "xla", "ff", "pallas"):
             raise ValueError(
-                f"cg_kernel must be 'auto', 'xla', or 'pallas', got "
+                f"cg_kernel must be 'auto', 'xla', 'ff', or 'pallas', got "
                 f"{o.cg_kernel!r}"
             )
         if o.cg_materialize not in ("auto", "never", "always"):
@@ -193,10 +202,17 @@ class Options:
                 "cg_materialize must be 'auto', 'never', or 'always', got "
                 f"{o.cg_materialize!r}"
             )
-        if o.precision not in ("f64", "dd"):
-            raise ValueError(f"precision must be 'f64' or 'dd', got {o.precision!r}")
-        if o.precision == "dd" and o.dtype != "float64":
-            raise ValueError("precision='dd' requires dtype='float64'")
+        if o.precision not in ("f64", "dd", "dd2"):
+            raise ValueError(
+                f"precision must be 'f64', 'dd', or 'dd2', got {o.precision!r}"
+            )
+        if o.precision in ("dd", "dd2") and o.dtype != "float64":
+            raise ValueError(f"precision={o.precision!r} requires dtype='float64'")
+        if o.precision == "dd2" and o.kit != 0:
+            raise ValueError(
+                "precision='dd2' (dd-stored iterates) supports the direct "
+                "path only; use kit=0 (the CG path offers precision='dd')"
+            )
         if o.pad_multiple < 1:
             o.pad_multiple = 1
         return o

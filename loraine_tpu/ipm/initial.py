@@ -67,6 +67,20 @@ def initial_point(problem: SDPProblem, opts: Options) -> IPMState:
         X_lin = None
         S_lin = None
 
+    if opts.precision == "dd2":
+        # dd-stored iterates: the start point is f64-exact, so the tails
+        # begin at zero (see ipm/step.py dd2 mode)
+        return IPMState(
+            X=tuple(Xs),
+            S=tuple(Ss),
+            y=jnp.asarray(np.zeros(n), dtype=dtype),
+            X_lin=X_lin,
+            S_lin=S_lin,
+            sigma=jnp.asarray(INITIAL_SIGMA, dtype=dtype),
+            X_lo=tuple(jnp.zeros_like(X) for X in Xs),
+            S_lo=tuple(jnp.zeros_like(S) for S in Ss),
+            y_lo=jnp.asarray(np.zeros(n), dtype=dtype),
+        )
     return IPMState(
         X=tuple(Xs),
         S=tuple(Ss),

@@ -112,6 +112,19 @@ class Solver:
         """kit/datarank auto-downgrades (`src/Solvers.jl:421-444`)."""
         o = self.opts
         p = self.problem
+        if o.precision == "dd2":
+            # dd2's dd-exact adjoint (Aadj_dd) is implemented for dense
+            # storage; the LP cone is precision='dd' territory for now
+            if p.nlin:
+                raise ValueError(
+                    "precision='dd2' does not support the LP cone yet; "
+                    "use precision='dd'"
+                )
+            if any(g.A is None for g in p.groups):
+                raise ValueError(
+                    "precision='dd2' requires dense-stored data "
+                    "(build the problem with storage='dense', datarank=0)"
+                )
         if o.kit == 1:
             if p.nlmi == 0:
                 warnings.warn("Switching to a direct solver, no LMIs")
@@ -375,9 +388,10 @@ def solve_json(path: str, options: Union[Options, Dict[str, Any], None] = None) 
     return Solver(problem, options).solve()
 
 
-def solve_sdpa(path: str, options: Union[Options, Dict[str, Any], None] = None) -> Result:
-    """Read an SDPA .dat-s file and solve it (the `solve_sdpa` example flow,
-    reference `examples/solve_sdpa.jl`)."""
+def load_problem(path: str, options: Union[Options, Dict[str, Any], None] = None) -> SDPProblem:
+    """Read an SDPA .dat-s file into an SDPProblem using the same
+    option-driven storage selection as ``solve_sdpa`` (datarank, padding,
+    datasparsity -> dense/sparse split)."""
     if isinstance(options, dict) or options is None:
         options = Options.from_dict(options)
     options = options.validated()
@@ -395,7 +409,7 @@ def solve_sdpa(path: str, options: Union[Options, Dict[str, Any], None] = None) 
         storage, thr, min_n = "auto", 64, 256
     else:
         storage, thr, min_n = "auto", int(ds), 0
-    problem = problem_from_sdpa(
+    return problem_from_sdpa(
         path,
         datarank=options.datarank,
         pad_multiple=options.pad_multiple,
@@ -404,4 +418,13 @@ def solve_sdpa(path: str, options: Union[Options, Dict[str, Any], None] = None) 
         sparse_max_nnz=thr,
         sparse_min_n=min_n,
     )
+
+
+def solve_sdpa(path: str, options: Union[Options, Dict[str, Any], None] = None) -> Result:
+    """Read an SDPA .dat-s file and solve it (the `solve_sdpa` example flow,
+    reference `examples/solve_sdpa.jl`)."""
+    if isinstance(options, dict) or options is None:
+        options = Options.from_dict(options)
+    options = options.validated()
+    problem = load_problem(path, options)
     return Solver(problem, options).solve()

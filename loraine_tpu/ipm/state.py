@@ -16,7 +16,8 @@ import jax
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["X", "S", "y", "X_lin", "S_lin", "sigma"],
+    data_fields=["X", "S", "y", "X_lin", "S_lin", "sigma",
+                 "X_lo", "S_lo", "y_lo", "X_lin_lo", "S_lin_lo"],
     meta_fields=[],
 )
 @dataclasses.dataclass
@@ -27,6 +28,14 @@ class IPMState:
     X_lin: Optional[jax.Array]  # [nlin] or None
     S_lin: Optional[jax.Array]
     sigma: jax.Array  # scalar
+    # double-double tails (precision='dd2': iterates stored as hi+lo pairs,
+    # the TPU-native stand-in for the reference's Float64x4-class tiers,
+    # `src/Solvers.jl:18` MySolver{T}; None in every other mode)
+    X_lo: Optional[Tuple[jax.Array, ...]] = None
+    S_lo: Optional[Tuple[jax.Array, ...]] = None
+    y_lo: Optional[jax.Array] = None
+    X_lin_lo: Optional[jax.Array] = None
+    S_lin_lo: Optional[jax.Array] = None
 
 
 class StepStats(NamedTuple):

@@ -23,7 +23,9 @@ import jax.numpy as jnp
 from ..config import Options
 from ..problem import SDPProblem
 from ..ops.cg import cg_plain, pcg
-from ..ops.dd import DD, dd_add, dd_neg, dd_sum, dd_to_f64, two_prod, two_sum
+from ..ops.dd import (
+    DD, dd_add, dd_mul_f64, dd_neg, dd_sum, dd_to_f64, two_prod, two_sum,
+)
 from ..ops.eigh import eigh_backend_for, eigh_jacobi, eigh_mixed, eigmin_lanczos
 from ..ops.jacobi_pallas import eig_bounds_pallas, eigmin_pallas
 from ..ops.linalg import (
@@ -41,6 +43,7 @@ from ..ops.ozaki import acc_matmul, acc_matvec
 from ..ops.precond import prep_alpha, prep_beta
 from ..ops.schur import (
     Aadj,
+    Aadj_dd,
     Aop,
     Aop_dd,
     lp_weight,
@@ -98,6 +101,8 @@ class _GroupDirs(NamedTuple):
     delS: jax.Array
     alpha: jax.Array  # [nb]
     beta: jax.Array  # [nb]
+    delX_lo: Optional[jax.Array] = None  # dd2: direction tails
+    delS_lo: Optional[jax.Array] = None
 
 
 def _group_dirs(
@@ -115,17 +120,26 @@ def _group_dirs(
     dd_mode: bool = False,
     T_dd=None,
     U_dd=None,
+    Rd_dd=None,  # dd2: dual residual as a DD pair (keeps delS dd-exact)
 ) -> _GroupDirs:
     """Directions and per-block steplengths (`find_step`,
     `src/predictor_corrector.jl:248-293`).
 
     In dd mode ``dely`` is a DD pair (see solve2): the lo part's sandwich
     contribution keeps A(delX) = Rp exact past the f64 resolution of dely.
+    In dd2 mode (``Rd_dd`` given) delS and delX are RETURNED as DD pairs so
+    the iterate updates stay at dd resolution.
     """
+    dd2 = Rd_dd is not None
     if dd_mode:
         dely, dely_lo = dely.hi, dely.lo
     GT = jnp.swapaxes(nt.G, -1, -2)
     delS = Rd - Aadj(g, dely)
+    if dd2:
+        adj = Aadj_dd(g, DD(dely, dely_lo))
+        delS_dd = dd_add(Rd_dd, dd_neg(adj))
+        delS_dd = DD(sym(delS_dd.hi), sym(delS_dd.lo))
+        delS = delS_dd.hi
     if dd_mode:
         # Feasibility-exact dd directions. The Newton identity
         # A(delX) = Rp needs W S W == X and S^-1 == G D^-1 G^T EXACTLY;
@@ -139,7 +153,11 @@ def _group_dirs(
         acc = dd_add(dd_neg(T_dd), WAW)
         if not predict:
             acc = dd_add(acc, U_dd)
-        delX = sym(dd_to_f64(acc))
+        if dd2:
+            delX_dd = DD(sym(acc.hi), sym(acc.lo))
+            delX = delX_dd.hi
+        else:
+            delX = sym(dd_to_f64(acc))
     else:
         Xi = nt.W @ delS @ nt.W
         if predict:
@@ -169,6 +187,9 @@ def _group_dirs(
         ev = eigmin_fn(jnp.concatenate([scaleX, scaleS], axis=0))
         alpha = _steplen(ev[:nb])
         beta = _steplen(ev[nb:])
+    if dd2:
+        return _GroupDirs(delX=delX, delS=delS, alpha=alpha, beta=beta,
+                          delX_lo=delX_dd.lo, delS_lo=delS_dd.lo)
     return _GroupDirs(delX=delX, delS=delS, alpha=alpha, beta=beta)
 
 
@@ -230,6 +251,21 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
         return jax.lax.with_sharding_constraint(
             x, NamedSharding(mesh, PartitionSpec("schur"))
         )
+
+    # row-sharding for [n, n] Schur-sized matrices: with it, chol_blocked /
+    # tri_inv become the DISTRIBUTED factorization (panel chol replicated,
+    # all O(n^3) GEMM work shard-local; see ops/linalg.py) — replacing the
+    # round-2 all-gather + replicated Cholesky (SURVEY section 7 hard part
+    # "Distributed Cholesky vs CG")
+    if schur_sharded:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        def _row_shard(x):
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, PartitionSpec("schur", None))
+            )
+    else:
+        _row_shard = None
     # high-precision mode: Schur assembly, RHS contractions, and the Schur
     # solve's iterative refinement run in double-double (validated() forces
     # kit=0 for it); the TPU-native stand-in for MultiFloats Float64xN
@@ -237,7 +273,16 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
     # route factors in f64 and refines with dd residuals; the CG route
     # (kit=1) wraps PCG in dd iterative refinement (solve_cg_dd) — the
     # TPU-native equivalent of the reference's Float64xN-typed CG
-    dd_mode = opts.precision == "dd"
+    dd_mode = opts.precision in ("dd", "dd2")
+    # dd2: the x4-class tier — in addition to dd assembly/solves, the
+    # ITERATES (X, S, y) are stored as double-double pairs and every
+    # residual/update runs on the pairs, so the DIMACS floor is no longer
+    # pinned by u64 * ||iterate|| storage rounding (the reference reaches
+    # this regime by instantiating MySolver{Float64x4},
+    # `src/Solvers.jl:18`, `README.md:37-54`). The NT scaling still
+    # computes from the f64 hi parts — its breakdown at mu ~ u64-resolution
+    # of X's spectrum is the tier's measured floor (docs/precision.md).
+    dd2 = opts.precision == "dd2"
 
     def _step_mode() -> str:
         mode = opts.step_eig
@@ -341,13 +386,34 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
         denom = problem.sum_msizes + nlin
         one = jnp.ones((), dtype=dtype)
 
+        # dd2: iterates as DD pairs (hi = st.X etc, lo = the stored tails)
+        if dd2:
+            X_dds = tuple(DD(X, Xl) for X, Xl in zip(st.X, st.X_lo))
+            S_dds = tuple(DD(S, Sl) for S, Sl in zip(st.S, st.S_lo))
+            y_dd = DD(st.y, st.y_lo)
+        else:
+            X_dds = S_dds = (None,) * ngroups
+            y_dd = None
+
         # ---- mu (`find_mu`, src/Solvers.jl:480-494)
-        tr = jnp.zeros((), dtype=dtype)
-        for X, S in zip(st.X, st.S):
-            tr = tr + btrace(X, S)
-        if nlin:
-            tr = tr + jnp.dot(st.X_lin, st.S_lin)
-        mu = tr / denom
+        if dd2:
+            # <X, S> in dd: near the dd2 floor the products are O(1) with
+            # ~20-digit cancellation — an f64 trace would report mu ~ 1e-16
+            # noise instead of the true barrier value
+            tr_dd = DD(jnp.zeros((), dtype=dtype), jnp.zeros((), dtype=dtype))
+            for Xd, Sd in zip(X_dds, S_dds):
+                t = _trace_dot_dd(Xd.hi, Sd.hi)
+                cross = jnp.sum(Xd.hi * Sd.lo) + jnp.sum(Xd.lo * Sd.hi)
+                s2 = two_sum(t.hi, cross)
+                tr_dd = dd_add(tr_dd, DD(s2.hi, s2.lo + t.lo))
+            mu = dd_to_f64(tr_dd) / denom
+        else:
+            tr = jnp.zeros((), dtype=dtype)
+            for X, S in zip(st.X, st.S):
+                tr = tr + btrace(X, S)
+            if nlin:
+                tr = tr + jnp.dot(st.X_lin, st.S_lin)
+            mu = tr / denom
 
         # ---- NT scaling (prepare_W)
         nts = tuple(
@@ -366,8 +432,11 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
         # ---- residuals (`predictor`, src/predictor_corrector.jl:8-22)
         if dd_mode:
             Rp_dd = _dd0(problem.b)
-            for g, X in zip(problem.groups, st.X):
-                Rp_dd = dd_add(Rp_dd, dd_neg(Aop_dd(g, X)))
+            for g, X, Xd in zip(problem.groups, st.X, X_dds):
+                Rp_dd = dd_add(
+                    Rp_dd,
+                    dd_neg(Aop_dd(g, X, Xd.lo if dd2 else None)),
+                )
             if nlin:
                 lin = acc_matvec(problem.C_lin, st.X_lin)
                 Rp_dd = dd_add(Rp_dd, dd_neg(lin))
@@ -378,19 +447,41 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
                 Rp = Rp - Aop(g, X)
             if nlin:
                 Rp = Rp - problem.C_lin @ st.X_lin
-        Rds = tuple(
-            sym(g.C - S - Aadj(g, st.y)) for g, S in zip(problem.groups, st.S)
-        )
+        if dd2:
+            # Rd = C - S - Aadj(y) at dd resolution: near the dd2 floor the
+            # f64 evaluation rounds at u64 * ||C||, which would pin err3
+            Rd_dds = []
+            for g, Sd in zip(problem.groups, S_dds):
+                adj = Aadj_dd(g, y_dd)
+                t = two_sum(g.C, -Sd.hi)
+                acc = dd_add(DD(t.hi, t.lo - Sd.lo), dd_neg(adj))
+                Rd_dds.append(DD(sym(acc.hi), sym(acc.lo)))
+            Rd_dds = tuple(Rd_dds)
+            Rds = tuple(r.hi for r in Rd_dds)
+        else:
+            Rd_dds = (None,) * ngroups
+            Rds = tuple(
+                sym(g.C - S - Aadj(g, st.y)) for g, S in zip(problem.groups, st.S)
+            )
         Rd_lin = (problem.d_lin - st.S_lin - problem.C_lin.T @ st.y) if nlin else None
 
         # ---- predictor RHS (`makeRHS`, src/makeBBBB.jl:221-228)
         if dd_mode:
             # T = W (Rd + S) W per group, in dd — reused VERBATIM in the
-            # direction formula so the feasibility identity cancels exactly
-            T_dds = tuple(
-                _sandwich_dd(nt.W, Rd + S, nt.W)
-                for nt, Rd, S in zip(nts, Rds, st.S)
-            )
+            # direction formula so the feasibility identity cancels exactly.
+            # dd2: Rd + S carries a dd tail; its W-sandwich enters T.lo
+            if dd2:
+                T_dds = []
+                for nt, Rdd, Sd in zip(nts, Rd_dds, S_dds):
+                    M_dd = dd_add(Rdd, Sd)
+                    T = _sandwich_dd(nt.W, M_dd.hi, nt.W)
+                    T_dds.append(DD(T.hi, T.lo + nt.W @ M_dd.lo @ nt.W))
+                T_dds = tuple(T_dds)
+            else:
+                T_dds = tuple(
+                    _sandwich_dd(nt.W, Rd + S, nt.W)
+                    for nt, Rd, S in zip(nts, Rds, st.S)
+                )
             h_dd = Rp_dd
             for g, T in zip(problem.groups, T_dds):
                 h_dd = dd_add(h_dd, Aop_dd(g, T.hi, T.lo))
@@ -434,12 +525,15 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
             # variants were measured WORSE on badly-scaled problems (tru9:
             # stall at 1.4e-7 with 1e-4 absolute vs 4e-6 with a clamped
             # relative shift); sub-f64 floors are precision='dd' territory.
-            hc = chol_reg(Hs, 1e-4, 1000, backend=opts.chol_backend)
+            if _row_shard is not None:
+                Hs = _row_shard(Hs)
+            hc = chol_reg(Hs, 1e-4, 1000, backend=opts.chol_backend,
+                          shard=_row_shard)
             h_shifts, h_ok = hc.shifts, hc.ok
             # explicit inv(L): the 4 sequential single-RHS triangular solves
             # per iteration become GEMVs; iterative refinement (below)
             # absorbs the u*cond-class inversion error (ops/linalg.py:tri_inv)
-            Hli = tri_inv(hc.L)
+            Hli = tri_inv(hc.L, shard=_row_shard)
 
             if dd_mode:
                 def solve2(rhs_dd):
@@ -527,31 +621,61 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
                 Mli_mat = jnp.diag(1.0 / jnp.sqrt(pb.diag)) if mat_cg else None
 
             # Fused in-VMEM PCG (ops/pcg_pallas.py): one kernel per solve
-            # instead of ~5 XLA ops per CG iteration inside a device loop.
+            # instead of ~5 XLA ops per CG iteration inside a device loop
+            # (~180 us of pure per-op latency per CG iteration at small n).
             # Applies to the materialized unsharded f64 path; dd mode keeps
             # the XLA loop (its refinement needs dd-resolution inner solves).
-            # The f32 kernel's per-pass residual floor is ~u32 * kappa of
-            # the SPLIT-preconditioned system; measured on control1,
-            # kappa(Mli H Mli^T) reaches 7e9-1e10 near convergence (H_alpha
-            # does not bound the preconditioned spectrum as mu -> 0) and the
-            # f32 body stalls/diverges there — so the kernel is OPT-IN for
-            # loose-tolerance solves only ('auto' keeps the f64 CG; see
-            # docs/tpu_notes.md "Fused f32 PCG: measured limits").
+            # Two kernel precisions exist:
+            #   'ff'     float-float (2xf32, ~2^-47) body + f64 refinement —
+            #            keeps converging at the measured late-IPM
+            #            conditioning (kappa(Mli H Mli^T) ~ 1e10 on control1)
+            #            and is the TPU default ('auto'). TPU-only: the
+            #            Mosaic compiler preserves the error-free transforms
+            #            1:1, while XLA:CPU's fusion emitter contracts them
+            #            away (see ops/pcg_pallas.py).
+            #   'pallas' plain-f32 body — OPT-IN for loose-tolerance solves
+            #            only: its per-pass floor is ~u32 * kappa and it
+            #            stalls near convergence (docs/tpu_notes.md "Fused
+            #            f32 PCG: measured limits").
+            cg_kernel = opts.cg_kernel
+            if cg_kernel == "auto":
+                cg_kernel = (
+                    "ff" if jax.default_backend() == "tpu" else "xla"
+                )
             use_pallas_cg = (
                 mat_cg
                 and not dd_mode
                 and not schur_sharded
-                and opts.cg_kernel == "pallas"
+                and cg_kernel in ("pallas", "ff")
             )
             if use_pallas_cg:
-                from ..ops.pcg_pallas import pcg_pallas_mixed
+                from ..ops.pcg_pallas import pcg_pallas_ff, pcg_pallas_mixed
 
+                kernel_fn = (
+                    pcg_pallas_ff if cg_kernel == "ff" else pcg_pallas_mixed
+                )
                 Mli_cg = (
                     jnp.eye(problem.n, dtype=dtype) if Mli_mat is None else Mli_mat
                 )
-                solve_cg = lambda rhs: pcg_pallas_mixed(
-                    Hcg, Mli_cg, rhs, tol_cg, opts.cg_maxiter
-                )
+                MliT_cg = jnp.swapaxes(Mli_cg, -1, -2)
+                Hp_cg = sym(Mli_cg @ Hcg @ MliT_cg)
+
+                def solve_cg(rhs):
+                    x, it = kernel_fn(Hcg, Mli_cg, rhs, tol_cg, opts.cg_maxiter)
+                    # guaranteed finish: polish any kernel shortfall (the ff
+                    # stall guard at extreme kappa returns its best iterate,
+                    # which may miss tol) with the f64 split-preconditioned
+                    # CG on the remaining residual. A converged solve passes
+                    # through in a single while-loop cond evaluation.
+                    r = rhs - Hcg @ x
+                    rp = Mli_cg @ r
+                    nrm_rp = jnp.linalg.norm(rp)
+                    target = tol_cg * jnp.linalg.norm(rhs)
+                    tol_fb = target / jnp.where(nrm_rp > 0, nrm_rp, 1.0)
+                    u, it2 = cg_plain(
+                        lambda v: Hp_cg @ v, rp, tol_fb, opts.cg_maxiter
+                    )
+                    return x + MliT_cg @ u, it + it2
             elif mat_cg and not dd_mode and Mli_mat is not None:
                 # split-preconditioned f64 CG: solve (Mli H Mli^T) u = Mli b,
                 # x = Mli^T u — the same Krylov iterates as PCG with
@@ -616,8 +740,11 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
         # ---- predictor directions + steplengths
         dirs = tuple(
             _group_dirs(g, nt, Rd, X, dely, predict=True, eigmin_fn=eigmin_fn,
-                        eigrange_fn=range_fn, dd_mode=dd_mode, T_dd=T)
-            for g, nt, Rd, X, T in zip(problem.groups, nts, Rds, st.X, T_dds)
+                        eigrange_fn=range_fn, dd_mode=dd_mode, T_dd=T,
+                        Rd_dd=Rdd)
+            for g, nt, Rd, X, T, Rdd in zip(
+                problem.groups, nts, Rds, st.X, T_dds, Rd_dds
+            )
         )
         if nlin:
             ld = _lin_dirs(
@@ -637,10 +764,24 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
         # src/predictor_corrector.jl:302-310)
         trXnSn_mat = jnp.zeros((), dtype=dtype)
         RNTs = []
-        for g, nt, d, X, S in zip(problem.groups, nts, dirs, st.X, st.S):
-            Xn = X + d.alpha[:, None, None] * d.delX
-            Sn = S + d.beta[:, None, None] * d.delS
-            trXnSn_mat = trXnSn_mat + btrace(Xn, Sn)
+        for g, nt, d, X, S, Xd, Sd in zip(
+            problem.groups, nts, dirs, st.X, st.S, X_dds, S_dds
+        ):
+            if dd2:
+                # dd trial trace: at mu ~ 1e-18 the f64 product noise
+                # (~u64 * ||X|| ||S||) would swamp trXnSn and break the
+                # Mehrotra sigma heuristic
+                Xn_dd = dd_add(Xd, dd_mul_f64(DD(d.delX, d.delX_lo),
+                                              d.alpha[:, None, None]))
+                Sn_dd = dd_add(Sd, dd_mul_f64(DD(d.delS, d.delS_lo),
+                                              d.beta[:, None, None]))
+                t = _trace_dot_dd(Xn_dd.hi, Sn_dd.hi)
+                cross = jnp.sum(Xn_dd.hi * Sn_dd.lo) + jnp.sum(Xn_dd.lo * Sn_dd.hi)
+                trXnSn_mat = trXnSn_mat + t.hi + (t.lo + cross)
+            else:
+                Xn = X + d.alpha[:, None, None] * d.delX
+                Sn = S + d.beta[:, None, None] * d.delS
+                trXnSn_mat = trXnSn_mat + btrace(Xn, Sn)
             deed = nt.D[:, :, None] + nt.D[:, None, :]
             N = nt.Gi @ d.delX @ d.delS @ nt.G
             RNTs.append(-(N + jnp.swapaxes(N, -1, -2)) / deed)
@@ -731,10 +872,10 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
             _group_dirs(
                 g, nt, Rd, X, dely2,
                 predict=False, sig_mu=sig_mu, RNT=RNT, eigmin_fn=eigmin_fn,
-                dd_mode=dd_mode, T_dd=T, U_dd=U,
+                dd_mode=dd_mode, T_dd=T, U_dd=U, Rd_dd=Rdd,
             )
-            for g, nt, Rd, X, RNT, T, U in zip(
-                problem.groups, nts, Rds, st.X, RNTs, T_dds, U_dds
+            for g, nt, Rd, X, RNT, T, U, Rdd in zip(
+                problem.groups, nts, Rds, st.X, RNTs, T_dds, U_dds, Rd_dds
             )
         )
         if nlin:
@@ -752,9 +893,26 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
             amin = jnp.minimum(amin, jnp.min(d.alpha))
             bmin = jnp.minimum(bmin, jnp.min(d.beta))
 
-        y_new = st.y + bmin * (dd_to_f64(dely2) if dd_mode else dely2)
-        X_new = tuple(sym(X + amin * d.delX) for X, d in zip(st.X, dirs2))
-        S_new = tuple(sym(S + bmin * d.delS) for S, d in zip(st.S, dirs2))
+        if dd2:
+            # iterate updates at dd resolution — the whole point of the tier
+            y_new_dd = dd_add(y_dd, dd_mul_f64(dely2, bmin))
+            y_new = y_new_dd.hi
+            X_new_dds = tuple(
+                dd_add(Xd, dd_mul_f64(DD(d.delX, d.delX_lo), amin))
+                for Xd, d in zip(X_dds, dirs2)
+            )
+            S_new_dds = tuple(
+                dd_add(Sd, dd_mul_f64(DD(d.delS, d.delS_lo), bmin))
+                for Sd, d in zip(S_dds, dirs2)
+            )
+            X_new_dds = tuple(DD(sym(x.hi), sym(x.lo)) for x in X_new_dds)
+            S_new_dds = tuple(DD(sym(s.hi), sym(s.lo)) for s in S_new_dds)
+            X_new = tuple(x.hi for x in X_new_dds)
+            S_new = tuple(s.hi for s in S_new_dds)
+        else:
+            y_new = st.y + bmin * (dd_to_f64(dely2) if dd_mode else dely2)
+            X_new = tuple(sym(X + amin * d.delX) for X, d in zip(st.X, dirs2))
+            S_new = tuple(sym(S + bmin * d.delS) for S, d in zip(st.S, dirs2))
         if nlin:
             X_lin_new = st.X_lin + amin * ld2.delX
             S_lin_new = st.S_lin + bmin * ld2.delS
@@ -765,6 +923,9 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
         normb = jnp.linalg.norm(problem.b)
         if dd_mode:
             by_dd = _dd_dot(problem.b, y_new)
+            if dd2:
+                s2 = two_sum(by_dd.hi, jnp.dot(problem.b, y_new_dd.lo))
+                by_dd = DD(s2.hi, s2.lo + by_dd.lo)
             by = dd_to_f64(by_dd)
             trCX_dd = DD(jnp.zeros((), dtype=dtype), jnp.zeros((), dtype=dtype))
         else:
@@ -775,7 +936,7 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
         err4 = jnp.zeros((), dtype=dtype)
         err6 = jnp.zeros((), dtype=dtype)
         trCX = jnp.zeros((), dtype=dtype)
-        for g, X, S, Rd in zip(problem.groups, X_new, S_new, Rds):
+        for gi, (g, X, S, Rd) in enumerate(zip(problem.groups, X_new, S_new, Rds)):
             normC = jnp.sqrt(jnp.sum(g.C**2, axis=(-1, -2)))  # [nb]
             viol = psd_violation(jnp.concatenate([X, S], axis=0), nt_suspect)
             violX, violS = viol[: X.shape[0]], viol[X.shape[0] :]
@@ -787,8 +948,26 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
             CX = jnp.einsum("bpq,bpq->b", g.C, X)
             trCX = trCX + jnp.sum(CX)
             if dd_mode:
-                trCX_dd = dd_add(trCX_dd, _trace_dot_dd(g.C, X))
-            SX = jnp.einsum("bpq,bpq->b", S, X)
+                t = _trace_dot_dd(g.C, X)
+                if dd2:
+                    s2 = two_sum(t.hi, jnp.sum(g.C * X_new_dds[gi].lo))
+                    t = DD(s2.hi, s2.lo + t.lo)
+                trCX_dd = dd_add(trCX_dd, t)
+            if dd2:
+                # per-block <S, X> at dd resolution: near the floor the f64
+                # product noise (~u64 * ||S|| ||X||) exceeds the true
+                # barrier value
+                Xd2, Sd2 = X_new_dds[gi], S_new_dds[gi]
+                nb_ = X.shape[0]
+                p = two_prod(Sd2.hi.reshape(nb_, -1), Xd2.hi.reshape(nb_, -1))
+                t = dd_sum(DD(p.hi, p.lo), axis=-1)  # [nb] dd
+                cross = jnp.sum(
+                    (Sd2.hi * Xd2.lo + Sd2.lo * Xd2.hi).reshape(nb_, -1),
+                    axis=-1,
+                )
+                SX = t.hi + (t.lo + cross)
+            else:
+                SX = jnp.einsum("bpq,bpq->b", S, X)
             err6 = err6 + jnp.sum(SX / (1.0 + jnp.abs(CX) + jnp.abs(by)))
         if nlin:
             dX = jnp.dot(problem.d_lin, X_lin_new)
@@ -818,9 +997,19 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
         if nlmi > 0:
             dimacs = dimacs + err1
 
-        new_state = IPMState(
-            X=X_new, S=S_new, y=y_new, X_lin=X_lin_new, S_lin=S_lin_new, sigma=sigma
-        )
+        if dd2:
+            new_state = IPMState(
+                X=X_new, S=S_new, y=y_new, X_lin=X_lin_new,
+                S_lin=S_lin_new, sigma=sigma,
+                X_lo=tuple(x.lo for x in X_new_dds),
+                S_lo=tuple(s_.lo for s_ in S_new_dds),
+                y_lo=y_new_dd.lo,
+            )
+        else:
+            new_state = IPMState(
+                X=X_new, S=S_new, y=y_new, X_lin=X_lin_new, S_lin=S_lin_new,
+                sigma=sigma,
+            )
         stats = StepStats(
             obj=-by + problem.b_const,
             mu=mu,

@@ -36,7 +36,7 @@ def sym(M: jax.Array) -> jax.Array:
     return (M + jnp.swapaxes(M, -1, -2)) / 2
 
 
-def chol_blocked(M: jax.Array, base: int = 128) -> jax.Array:
+def chol_blocked(M: jax.Array, base: int = 128, shard=None) -> jax.Array:
     """Batched lower Cholesky via right-looking blocked elimination.
 
     Why: XLA's TPU f64 Cholesky is the dominant per-iteration cost of the
@@ -56,13 +56,24 @@ def chol_blocked(M: jax.Array, base: int = 128) -> jax.Array:
     yields NaNs that propagate through every later panel, so `chol_reg`'s
     NaN-keyed retry loop works unchanged. Backward error is the classical
     blocked-Cholesky bound (same order as the unblocked factorization).
+
+    ``shard``: optional callable applying a row-sharding constraint to
+    matrices whose axis -2 spans (a suffix of) the factored dimension.
+    With it, the SAME panel loop is the distributed factorization: the
+    b x b panel chol replicates (tiny), the multi-RHS solve and the
+    rank-b trailing update run shard-local on each device's rows, and
+    GSPMD inserts one [*, b] panel broadcast per step — H is never
+    gathered whole (the replicated-Cholesky fallback this replaces,
+    SURVEY section 7 "Distributed Cholesky vs CG").
     """
     n = M.shape[-1]
     if n <= base:
         return jnp.linalg.cholesky(M)
+    if shard is None:
+        shard = lambda x: x
     batch = M.shape[:-2]
     cols = []
-    T = M
+    T = shard(M)
     k = 0
     while k < n:
         b = min(base, n - k)
@@ -75,16 +86,16 @@ def chol_blocked(M: jax.Array, base: int = 128) -> jax.Array:
             )  # [..., b, n-k-b] = L_rk^T
             Lr = jnp.swapaxes(Lr_t, -1, -2)
             col = jnp.concatenate([Ld, Lr], axis=-2)  # [..., n-k, b]
-            T = T[..., b:, b:] - Lr @ Lr_t
+            T = shard(T[..., b:, b:] - Lr @ Lr_t)
         else:
             col = Ld
         if k:
             col = jnp.concatenate(
                 [jnp.zeros(batch + (k, b), dtype=M.dtype), col], axis=-2
             )
-        cols.append(col)
+        cols.append(shard(col))
         k += b
-    return jnp.concatenate(cols, axis=-1)
+    return shard(jnp.concatenate(cols, axis=-1))
 
 
 class CholResult(NamedTuple):
@@ -106,7 +117,8 @@ def chol_backend_for(backend: str, n: int) -> str:
 
 
 def chol_reg(
-    M: jax.Array, eps, max_tries: int = 1000, backend: str = "f64"
+    M: jax.Array, eps, max_tries: int = 1000, backend: str = "f64",
+    shard=None,
 ) -> CholResult:
     """Cholesky with bounded diagonal-shift regularization.
 
@@ -123,7 +135,13 @@ def chol_reg(
     """
     m = M.shape[-1]
     eye = jnp.eye(m, dtype=M.dtype)
-    if chol_backend_for(backend, m) == "mixed":
+    if shard is not None:
+        # distributed factorization (Schur rows sharded): the blocked f64
+        # elimination with per-panel sharding constraints; the mixed-panel
+        # variant is not plumbed for sharding (its panels are replicated
+        # anyway, so the f64 path is the conservative choice here)
+        _chol = lambda Mc: chol_blocked(Mc, shard=shard)
+    elif chol_backend_for(backend, m) == "mixed":
         from .mixed_chol import chol_mixed_blocked as _chol
     else:
         _chol = chol_blocked
@@ -164,7 +182,7 @@ def cho_solve(L: jax.Array, b: jax.Array) -> jax.Array:
     return x[..., 0] if vec else x
 
 
-def tri_inv(L: jax.Array, base: int = 128) -> jax.Array:
+def tri_inv(L: jax.Array, base: int = 128, shard=None) -> jax.Array:
     """Explicit inverse of a lower-triangular matrix by blocked doubling.
 
     Why: on TPU a triangular solve with a single RHS is a sequential blocked
@@ -180,11 +198,17 @@ def tri_inv(L: jax.Array, base: int = 128) -> jax.Array:
     Numerics: ||I - Li L|| ~ u * cond(L); downstream users run iterative
     refinement on the solve (step.py solve2), which absorbs exactly this
     class of error — same contract as the triangular-solve path.
+
+    ``shard``: optional row-sharding constraint callable (see chol_blocked).
+    The doubling GEMMs then run distributed; GSPMD moves at most one
+    half-size block per level (bounded transient, vs gathering L whole).
     """
     n = L.shape[-1]
     if n <= base:
         eye = jnp.broadcast_to(jnp.eye(n, dtype=L.dtype), L.shape)
         return jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    if shard is None:
+        shard = lambda x: x
 
     # pad to base * 2^k with an identity tail (inverse of the pad is itself)
     k = 0
@@ -216,6 +240,8 @@ def tri_inv(L: jax.Array, base: int = 128) -> jax.Array:
         s = slice(i * base, (i + 1) * base)
         Li = Li.at[..., s, s].set(dinv[..., i, :, :])
 
+    Lp = shard(Lp)
+    Li = shard(Li)
     size = base
     while size < np_:
         for i in range(0, np_, 2 * size):  # static unroll
@@ -224,9 +250,10 @@ def tri_inv(L: jax.Array, base: int = 128) -> jax.Array:
             # -inv(C) @ B @ inv(A)
             BA = Lp[..., c, a] @ Li[..., a, a]
             Li = Li.at[..., c, a].set(-(Li[..., c, c] @ BA))
+        Li = shard(Li)
         size *= 2
 
-    return Li[..., :n, :n]
+    return shard(Li[..., :n, :n])
 
 
 def cho_solve_inv(Li: jax.Array, b: jax.Array) -> jax.Array:

@@ -35,6 +35,7 @@ from .ozaki import acc_matmul, acc_matvec
 __all__ = [
     "Aop",
     "Aadj",
+    "Aadj_dd",
     "schur_group",
     "schur_lp",
     "lp_weight",
@@ -74,6 +75,26 @@ def Aadj(group: BlockGroup, y: jax.Array) -> jax.Array:
         out = jnp.einsum("bkj,j->bk", group.AT, y)
         return out.reshape(group.AT.shape[0], group.m, group.m)
     return jnp.einsum("j,bjpq->bpq", y, group.A)
+
+
+def Aadj_dd(group: BlockGroup, y: DD) -> DD:
+    """Aadj at double-double accuracy: [nb, m, m] <- sum_j y_j A_j with the
+    contraction accumulated in dd (Ozaki-sliced exact matvec) and the y.lo
+    correction folded in. Needed by the dd2 tier: the f64 Aadj rounds at
+    u64 * ||sum y A|| absolute, which would pin the dual residual Rd (and
+    with it err3) at ~1e-14 — exactly the floor dd2 exists to break.
+
+    Dense storage only (the dd2 mode's supported regime)."""
+    if group.A is None:
+        raise NotImplementedError("Aadj_dd requires dense-stored data")
+    nb, n, m, _ = group.A.shape
+    Af = jnp.moveaxis(group.A, 1, 0).reshape(n, -1)  # [n, b*m*m]
+    r = acc_matvec(Af.T, y.hi)  # dd [b*m*m]
+    corr = Af.T @ y.lo
+    s = two_sum(r.hi, corr)
+    return DD(
+        s.hi.reshape(nb, m, m), (s.lo + r.lo).reshape(nb, m, m)
+    )
 
 
 def schur_group(

@@ -11,7 +11,9 @@ unchanged step, and let XLA insert the collectives:
   ``b`` axis.
 - axis ``schur``: shards the constraint axis ``n`` of the data operator —
   the T = W A W stage of Schur assembly is row-parallel; H rows materialize
-  sharded and are all-gathered for the (replicated) Cholesky.
+  sharded and stay sharded through the DISTRIBUTED blocked Cholesky +
+  tri_inv (ops/linalg.py ``shard=``: panel work replicated, all O(n^3)
+  GEMMs shard-local, one [*, b] panel broadcast per step).
 
 Small state (y, H factors) is replicated; X/S/W shard with their blocks.
 """
@@ -59,7 +61,13 @@ def _put(x, mesh: Mesh, spec: P):
 def shard_problem(problem: SDPProblem, mesh: Mesh) -> SDPProblem:
     """Place problem data on the mesh. Data is static per solve, so this is a
     one-time layout: A/B shard over (blocks, schur); C and NT-sized arrays
-    over blocks; b and the LP data replicate."""
+    over blocks; b and the LP data replicate.
+
+    Axes that do not divide evenly fall back to replication for that
+    dimension (device_put rejects uneven shards); the step still runs, with
+    whatever parallelism the remaining annotations provide."""
+    schur_ok = problem.n % mesh.shape["schur"] == 0
+    saxname = "schur" if schur_ok else None
     groups = []
     for g in problem.groups:
         bspec = P("blocks") if g.nb % mesh.shape["blocks"] == 0 else P()
@@ -69,16 +77,16 @@ def shard_problem(problem: SDPProblem, mesh: Mesh) -> SDPProblem:
             type(g)(
                 C=_put(g.C, mesh, P("blocks") if baxis else P()),
                 A=None if g.A is None else _put(
-                    g.A, mesh, P(baxname, "schur", None, None)
+                    g.A, mesh, P(baxname, saxname, None, None)
                 ),
                 AT=None if g.AT is None else _put(
-                    g.AT, mesh, P(baxname, None, "schur")
+                    g.AT, mesh, P(baxname, None, saxname)
                 ),
-                B=None if g.B is None else _put(g.B, mesh, P(baxname, "schur", None)),
-                Bsgn=None if g.Bsgn is None else _put(g.Bsgn, mesh, P(baxname, "schur")),
-                Arows=None if g.Arows is None else _put(g.Arows, mesh, P(baxname, "schur", None)),
-                Acols=None if g.Acols is None else _put(g.Acols, mesh, P(baxname, "schur", None)),
-                Avals=None if g.Avals is None else _put(g.Avals, mesh, P(baxname, "schur", None)),
+                B=None if g.B is None else _put(g.B, mesh, P(baxname, saxname, None)),
+                Bsgn=None if g.Bsgn is None else _put(g.Bsgn, mesh, P(baxname, saxname)),
+                Arows=None if g.Arows is None else _put(g.Arows, mesh, P(baxname, saxname, None)),
+                Acols=None if g.Acols is None else _put(g.Acols, mesh, P(baxname, saxname, None)),
+                Avals=None if g.Avals is None else _put(g.Avals, mesh, P(baxname, saxname, None)),
                 m=g.m,
                 nb=g.nb,
                 orig_sizes=g.orig_sizes,

@@ -26,11 +26,13 @@ def save_state(path: str, state: IPMState) -> None:
     meta = {
         "ngroups": len(state.X),
         "has_lin": state.X_lin is not None,
+        "has_dd2": state.X_lo is not None,
     }
     np.savez(
         path,
         __ngroups__=np.int64(meta["ngroups"]),
         __has_lin__=np.int64(meta["has_lin"]),
+        __has_dd2__=np.int64(meta["has_dd2"]),
         **{f"leaf_{i}": a for i, a in enumerate(host)},
     )
 
@@ -39,6 +41,7 @@ def load_state(path: str, dtype=jnp.float64) -> IPMState:
     z = np.load(path)
     ngroups = int(z["__ngroups__"])
     has_lin = bool(z["__has_lin__"])
+    has_dd2 = bool(z["__has_dd2__"]) if "__has_dd2__" in z.files else False
     leaves = [z[f"leaf_{i}"] for i in range(len([k for k in z.files if k.startswith("leaf_")]))]
     # leaf order matches tree_flatten of IPMState: X tuple, S tuple, y,
     # [X_lin, S_lin], sigma
@@ -51,5 +54,13 @@ def load_state(path: str, dtype=jnp.float64) -> IPMState:
         S_lin = jnp.asarray(leaves[pos], dtype=dtype); pos += 1
     else:
         X_lin = S_lin = None
-    sigma = jnp.asarray(leaves[pos], dtype=dtype)
+    sigma = jnp.asarray(leaves[pos], dtype=dtype); pos += 1
+    if has_dd2:
+        # dd2 iterate tails (see ipm/state.py; flatten order: the declared
+        # data_fields order puts them after sigma)
+        X_lo = tuple(jnp.asarray(leaves[pos + i], dtype=dtype) for i in range(ngroups)); pos += ngroups
+        S_lo = tuple(jnp.asarray(leaves[pos + i], dtype=dtype) for i in range(ngroups)); pos += ngroups
+        y_lo = jnp.asarray(leaves[pos], dtype=dtype); pos += 1
+        return IPMState(X=X, S=S, y=y, X_lin=X_lin, S_lin=S_lin, sigma=sigma,
+                        X_lo=X_lo, S_lo=S_lo, y_lo=y_lo)
     return IPMState(X=X, S=S, y=y, X_lin=X_lin, S_lin=S_lin, sigma=sigma)

@@ -66,7 +66,8 @@ def profile_phases(
 
     def all_nt(X, S):
         return tuple(
-            nt_scale(x, s, method=opts.nt_method, eigh_backend=opts.eigh_backend)
+            nt_scale(x, s, method=opts.nt_method, eigh_backend=opts.eigh_backend,
+                     chol_backend=opts.chol_backend)
             for x, s in zip(X, S)
         )
 
@@ -99,7 +100,7 @@ def profile_phases(
         H = jax.jit(schur)(nts)
 
         def hchol(H):
-            hc = chol_reg(H, 1e-4, 1000)
+            hc = chol_reg(H, 1e-4, 1000, backend=opts.chol_backend)
             return tri_inv(hc.L)
 
         out["H Cholesky + tri_inv"] = _timed(hchol, H, repeats=repeats)

@@ -25,3 +25,21 @@ DATA_DIR = pathlib.Path(__file__).parent / "data"
 @pytest.fixture
 def data_dir() -> pathlib.Path:
     return DATA_DIR
+
+
+# XLA:CPU has segfaulted/aborted compiling large programs late in a
+# long-lived suite process (order-dependent: the same test passes in a
+# fresh process — VERDICT r2 Weak #8, reproduced on the dd chunk and the
+# Pallas-interpret kernels). Dropping every live executable and tracing
+# cache between test modules keeps the compiler's arena small; per-module
+# recompiles on CPU cost seconds.
+_last_module = [None]
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_between_modules(request):
+    mod = request.module.__name__
+    if _last_module[0] is not None and _last_module[0] != mod:
+        jax.clear_caches()
+    _last_module[0] = mod
+    yield

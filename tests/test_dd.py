@@ -115,3 +115,18 @@ def test_dd_add_running_accumulation():
     err = abs(_dd_frac(acc) - exact)
     assert err <= abs(exact) * Fraction(1, 10**25)
     assert np.isclose(float(dd_to_f64(acc)), float(exact))
+
+
+def test_dd_requires_f64():
+    """Option-surface validation (cheap; lives here so the default suite
+    covers it — the e2e dd solves are tests/test_precision.py, marked slow)."""
+    import loraine_tpu as lt
+    import pytest
+    with pytest.raises(ValueError):
+        lt.Options(precision="dd", dtype="float32").validated()
+    # dd is supported on BOTH paths (reference runs Float64xN through its
+    # CG too, src/predictor_corrector.jl:131-134) — kit=1 must survive
+    o = lt.Options(precision="dd", kit=1).validated()
+    assert o.kit == 1
+    with pytest.raises(ValueError):
+        lt.Options(precision="qd").validated()

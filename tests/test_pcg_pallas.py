@@ -80,3 +80,94 @@ def test_control1_e2e_with_pallas_cg_loose(data_dir):
     )
     assert r.status == 1
     np.testing.assert_allclose(r.objective, 17.7846, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# float-float kernel (pcg_pallas_ff). On CPU the interpret path degrades to
+# ~f32 body accuracy (XLA:CPU contracts the error-free transforms — see the
+# module comment in ops/pcg_pallas.py), so CPU tests exercise trajectory,
+# stopping, and refinement behavior at moderate conditioning; the ~2^-47
+# body precision (the reason the kernel exists) is asserted by the
+# TPU-only exactness probe below and by the on-TPU bench.
+# ---------------------------------------------------------------------------
+from loraine_tpu.ops.pcg_pallas import pcg_pallas_ff  # noqa: E402
+
+
+@pytest.mark.parametrize("n", [21, 104, 300])
+@pytest.mark.parametrize("cond", [1e1, 1e3])
+def test_pcg_pallas_ff_matches_xla(n, cond):
+    # CPU-regime contract (interpret path, ~f32 body): converge to the
+    # requested tolerance and land near the f64 CG solution. On TPU the
+    # same call meets f64-tight tolerances (ff body is ~2^-47-exact there,
+    # see test_ff_eft_exactness_on_tpu).
+    H, b = _sys(n, cond, seed=n)
+    Mli = jnp.eye(n, dtype=jnp.float64)
+    tol = jnp.asarray(1e-6, jnp.float64)
+    x_ref, _ = pcg(lambda v: H @ v, b, lambda v: v, tol, 5000)
+    x, its = pcg_pallas_ff(H, Mli, b, tol, 5000)
+    r = jnp.linalg.norm(b - H @ x) / jnp.linalg.norm(b)
+    assert float(r) <= 1e-5
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref),
+                               atol=1e-4 * float(jnp.linalg.norm(x_ref)))
+    assert int(its) > 0
+
+
+def test_pcg_pallas_ff_never_worsens():
+    # hopeless regime on the CPU interpret path (kappa far beyond the f32
+    # body): the refinement guard must reject bad updates — returned x can
+    # be no worse than x = 0
+    n = 200
+    H, b = _sys(n, 1e8, seed=3)
+    x, its = pcg_pallas_ff(H, jnp.eye(n, dtype=jnp.float64), b,
+                           jnp.asarray(1e-6, jnp.float64), 10000)
+    r = jnp.linalg.norm(b - H @ x) / jnp.linalg.norm(b)
+    assert float(r) <= 1.0 + 1e-12
+    assert bool(jnp.all(jnp.isfinite(x)))
+
+
+def test_pcg_pallas_ff_converged_rhs_is_free():
+    n = 32
+    H, b = _sys(n, 1e2, seed=5)
+    Mli = jnp.eye(n, dtype=jnp.float64)
+    x, its = pcg_pallas_ff(H, Mli, b * 0.0, jnp.asarray(1e-8, jnp.float64), 100)
+    assert int(its) == 0
+    assert float(jnp.max(jnp.abs(x))) == 0.0
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="ff exactness requires Mosaic's 1:1 float lowering; XLA:CPU "
+    "contracts the error-free transforms (measured, see ops/pcg_pallas.py)",
+)
+def test_ff_eft_exactness_on_tpu():
+    """On-device probe: the Mosaic-lowered ff multiply of a broadcast ff
+    scalar against an ff vector must be ~2^-47-exact (this is exactly the
+    pattern XLA:CPU miscompiles to u32-level)."""
+    from jax.experimental import pallas as pl
+
+    from loraine_tpu.ops.pcg_pallas import _LANES, _ff_mul, _to_ff
+
+    rng = np.random.default_rng(3)
+    n = 8
+    p64 = rng.standard_normal(n)
+    s64 = float(rng.standard_normal())
+    ah64, al64 = _to_ff(jnp.asarray(np.full(1, s64)))
+    ph64, pl64 = _to_ff(jnp.asarray(p64))
+    ah = jnp.broadcast_to(ah64[:, None], (1, _LANES)).astype(jnp.float32)
+    al = jnp.broadcast_to(al64[:, None], (1, _LANES)).astype(jnp.float32)
+    ph = jnp.broadcast_to(ph64[:, None], (n, _LANES)).astype(jnp.float32)
+    plo = jnp.broadcast_to(pl64[:, None], (n, _LANES)).astype(jnp.float32)
+
+    def kern(a_h, a_l, p_h, p_l, oh, ol):
+        th, tl = _ff_mul(a_h[...], a_l[...], p_h[...], p_l[...])
+        oh[...] = th
+        ol[...] = tl
+
+    with jax.enable_x64(False):
+        oh, ol = pl.pallas_call(
+            kern,
+            out_shape=(jax.ShapeDtypeStruct((n, _LANES), jnp.float32),) * 2,
+        )(ah, al, ph, plo)
+    got = np.asarray(oh[:, 0], np.float64) + np.asarray(ol[:, 0], np.float64)
+    err = np.abs(got - s64 * p64).max()
+    assert err < 1e-13, f"Mosaic ff_mul error {err:.3e} above ff class"
