@@ -18,6 +18,10 @@ import loraine_tpu as lt
 
 CASES = [
     ('theta1', {'kit': 0, 'eDIMACS': 1e-6, 'initpoint': 1, 'verb': 0}),
+    ('control1', {'kit': 1, 'preconditioner': 1, 'eDIMACS': 1e-5,
+                  'tol_cg_min': 1e-6, 'initpoint': 1, 'verb': 0}),
+    ('tru9', {'kit': 0, 'eDIMACS': 1e-5, 'initpoint': 1, 'verb': 0}),
+    ('vib9', {'kit': 0, 'eDIMACS': 1e-5, 'initpoint': 1, 'verb': 0}),
     ('maxG11', {'kit': 0, 'eDIMACS': 1e-5, 'initpoint': 1, 'datarank': -1, 'verb': 0}),
     ('thetaG11', {'kit': 0, 'eDIMACS': 1e-5, 'initpoint': 1, 'datarank': -1, 'verb': 0}),
 ]
