@@ -32,9 +32,10 @@ def collective_bytes(compiled_text: str) -> dict:
     from a single chip (the virtual-CPU mesh shares 2 physical cores, so
     wall-clock here says nothing about ICI; bytes/step do)."""
     out = {}
+    # HLO line shape: `%name = f64[128,64]{1,0} all-gather(%operand), ...`
     pat = re.compile(
-        r"(\w+)\[([\d,]*)\][^=]*=\s*(all-gather|all-reduce|reduce-scatter|"
-        r"collective-permute|all-to-all)\("
+        r"=\s*(\w+)\[([\d,]*)\]\S*\s+(all-gather|all-reduce|reduce-scatter|"
+        r"collective-permute|all-to-all)(?:-start)?\("
     )
     for m in pat.finditer(compiled_text):
         dt, dims, op = m.group(1), m.group(2), m.group(3)
