@@ -32,16 +32,25 @@ def collective_bytes(compiled_text: str) -> dict:
     from a single chip (the virtual-CPU mesh shares 2 physical cores, so
     wall-clock here says nothing about ICI; bytes/step do)."""
     out = {}
-    # HLO line shape: `%name = f64[128,64]{1,0} all-gather(%operand), ...`
+    # HLO line shapes:
+    #   `%name = f64[128,64]{1,0} all-gather(%operand), ...`
+    #   `%name = (f64[128]{0}, f64[64]{0}) all-reduce-start(%a, %b), ...`
+    shape = r"(\w+)\[([\d,]*)\]\S*"
     pat = re.compile(
-        r"=\s*(\w+)\[([\d,]*)\]\S*\s+(all-gather|all-reduce|reduce-scatter|"
+        r"=\s*(" + shape + r"|\((?:[^()]*)\))\s+"
+        r"(all-gather|all-reduce|reduce-scatter|"
         r"collective-permute|all-to-all)(?:-start)?\("
     )
+    one = re.compile(shape)
     for m in pat.finditer(compiled_text):
-        dt, dims, op = m.group(1), m.group(2), m.group(3)
-        size = _DTYPE_BYTES.get(dt, 8)
-        for d in filter(None, dims.split(",")):
-            size *= int(d)
+        shapes_txt, op = m.group(1), m.group(4)
+        size = 0
+        for sm in one.finditer(shapes_txt):
+            dt, dims = sm.group(1), sm.group(2)
+            s = _DTYPE_BYTES.get(dt, 8)
+            for d in filter(None, dims.split(",")):
+                s *= int(d)
+            size += s
         rec = out.setdefault(op, {"count": 0, "bytes": 0})
         rec["count"] += 1
         rec["bytes"] += size

@@ -133,6 +133,33 @@ class Solver:
                 warnings.warn("Switching to a direct solver, erank bigger than matrix size")
                 o.kit = 0
 
+    def _normalize_tails(self, state: IPMState) -> IPMState:
+        """Reconcile the state's dd2 tails with the requested precision.
+
+        A pre-dd2 checkpoint resumed under precision='dd2' gets zero tails
+        (exact: the stored f64 iterate IS hi+0); a dd2 checkpoint resumed at
+        lower precision drops them (the hi words are the correctly rounded
+        f64 iterate)."""
+        import dataclasses as _dc
+        import jax.numpy as jnp
+
+        if self.opts.precision == "dd2":
+            if state.X_lo is None:
+                state = _dc.replace(
+                    state,
+                    X_lo=tuple(jnp.zeros_like(X) for X in state.X),
+                    S_lo=tuple(jnp.zeros_like(S) for S in state.S),
+                    y_lo=jnp.zeros_like(state.y),
+                    X_lin_lo=None if state.X_lin is None else jnp.zeros_like(state.X_lin),
+                    S_lin_lo=None if state.S_lin is None else jnp.zeros_like(state.S_lin),
+                )
+        elif state.X_lo is not None:
+            state = _dc.replace(
+                state, X_lo=None, S_lo=None, y_lo=None,
+                X_lin_lo=None, S_lin_lo=None,
+            )
+        return state
+
     # -- logging ----------------------------------------------------------
     def _header(self) -> None:
         o = self.opts
@@ -191,6 +218,7 @@ class Solver:
 
         with self.timer.phase("initial point"):
             state = self.initial_state if self.initial_state is not None else initial_point(p, o)
+            state = self._normalize_tails(state)
 
         profiler_cm = None
         if o.profile_dir:

@@ -639,8 +639,15 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
             #            f32 PCG: measured limits").
             cg_kernel = opts.cg_kernel
             if cg_kernel == "auto":
+                # VMEM guard: the ff kernel holds two [np_, np_] f32 operands
+                # plus ~a dozen [np_, 128] vector tiles resident; past
+                # n ~ 1024 (pow2-padded) that approaches the v5e VMEM budget
+                # and Mosaic compilation can fail. auto only picks ff below
+                # the safe size; explicit cg_kernel='ff' remains unguarded.
                 cg_kernel = (
-                    "ff" if jax.default_backend() == "tpu" else "xla"
+                    "ff"
+                    if jax.default_backend() == "tpu" and problem.n <= 1024
+                    else "xla"
                 )
             use_pallas_cg = (
                 mat_cg

@@ -416,7 +416,10 @@ def _kernel_ff(tol2_ref, maxiter_ref, Hh, Hl, bh, bl, xh_out, xl_out, it_out):
         rh, rl = _ff_add(rh, rl, -th, -tl)
         rrh_n, rrl_n = dot(rh, rl, rh, rl)
         rrh_d = jnp.where(rrh != 0.0, rrh, f32(1))
-        beh, bel = _ff_div(rrh_n, rrl_n, rrh_d, rrl)
+        # zero the lo word alongside the hi guard so the degenerate-breakdown
+        # denominator stays a consistent ff pair (1, 0) rather than (1, rrl)
+        rrl_d = jnp.where(rrh != 0.0, rrl, f32(0))
+        beh, bel = _ff_div(rrh_n, rrl_n, rrh_d, rrl_d)
         th, tl = _ff_mul(beh, bel, ph, plo)
         ph, plo = _ff_add(rh, rl, th, tl)
         rr_s = jnp.max(rrh_n)

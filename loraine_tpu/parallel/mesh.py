@@ -113,10 +113,18 @@ def shard_problem(problem: SDPProblem, mesh: Mesh) -> SDPProblem:
 
 def shard_state(state: IPMState, problem: SDPProblem, mesh: Mesh) -> IPMState:
     Xs, Ss = [], []
+    specs = []
     for g, X, S in zip(problem.groups, state.X, state.S):
         spec = P("blocks") if g.nb % mesh.shape["blocks"] == 0 else P()
+        specs.append(spec)
         Xs.append(_put(X, mesh, spec))
         Ss.append(_put(S, mesh, spec))
+    # dd2 iterate tails shard exactly like their hi words — dropping them
+    # here would silently degrade a dd2 state to dd-class
+    X_lo = S_lo = None
+    if state.X_lo is not None:
+        X_lo = tuple(_put(t, mesh, spec) for t, spec in zip(state.X_lo, specs))
+        S_lo = tuple(_put(t, mesh, spec) for t, spec in zip(state.S_lo, specs))
     return IPMState(
         X=tuple(Xs),
         S=tuple(Ss),
@@ -124,4 +132,9 @@ def shard_state(state: IPMState, problem: SDPProblem, mesh: Mesh) -> IPMState:
         X_lin=None if state.X_lin is None else _put(state.X_lin, mesh, P()),
         S_lin=None if state.S_lin is None else _put(state.S_lin, mesh, P()),
         sigma=_put(state.sigma, mesh, P()),
+        X_lo=X_lo,
+        S_lo=S_lo,
+        y_lo=None if state.y_lo is None else _put(state.y_lo, mesh, P()),
+        X_lin_lo=None if state.X_lin_lo is None else _put(state.X_lin_lo, mesh, P()),
+        S_lin_lo=None if state.S_lin_lo is None else _put(state.S_lin_lo, mesh, P()),
     )

@@ -104,6 +104,58 @@ def test_sharded_initpoint1_preserves_group_norms():
     np.testing.assert_allclose(res.objective, ref.objective, rtol=1e-8)
 
 
+def _dense_noLP_problem():
+    rng = np.random.default_rng(7)
+    nb, n, m = 4, 12, 6
+    As, Cs = [], []
+    for _ in range(nb):
+        A = rng.standard_normal((n, m, m))
+        As.append((A + A.transpose(0, 2, 1)) / 2)
+        C = rng.standard_normal((m, m))
+        Cs.append(C @ C.T + m * np.eye(m))
+    b = rng.standard_normal(n)
+    return lt.problem_from_dense(As, Cs, b, storage="dense")
+
+
+def test_shard_state_preserves_dd2_tails():
+    """Resharding a dd2 state must carry the X_lo/S_lo/y_lo tails (ADVICE r3:
+    they were silently dropped, degrading the iterate to dd-class)."""
+    problem = _dense_noLP_problem()
+    opts = lt.Options(kit=0, verb=0, precision="dd2", datasparsity=0).validated()
+    state = initial_point(problem, opts)
+    assert state.X_lo is not None
+    mesh = make_mesh((2, 4))
+    ss = shard_state(state, problem, mesh)
+    assert ss.X_lo is not None and ss.S_lo is not None and ss.y_lo is not None
+    for lo_ref, lo_sh in zip(state.X_lo, ss.X_lo):
+        np.testing.assert_array_equal(np.asarray(lo_sh), np.asarray(lo_ref))
+    np.testing.assert_array_equal(np.asarray(ss.y_lo), np.asarray(state.y_lo))
+
+
+@pytest.mark.slow
+def test_sharded_dd2_step_matches_single_device():
+    """One dd2 step sharded == unsharded (slow: dd2 chunk-class compile)."""
+    problem = _dense_noLP_problem()
+    opts = lt.Options(kit=0, verb=0, precision="dd2", datasparsity=0).validated()
+    state = initial_point(problem, opts)
+    step = jax.jit(build_step(opts, -1))
+    tol = jnp.asarray(1e-2, dtype=problem.b.dtype)
+    ref_state, ref_stats = step(problem, state, tol)
+
+    mesh = make_mesh((2, 4))
+    sp = shard_problem(problem, mesh)
+    ss = shard_state(state, problem, mesh)
+    out_state, out_stats = step(sp, ss, tol)
+
+    np.testing.assert_allclose(
+        np.asarray(out_state.y), np.asarray(ref_state.y), rtol=1e-9, atol=1e-10
+    )
+    assert out_state.X_lo is not None
+    for Xr, Xs in zip(ref_state.X, out_state.X):
+        np.testing.assert_allclose(np.asarray(Xs), np.asarray(Xr), rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(float(out_stats.dimacs), float(ref_stats.dimacs), rtol=1e-8)
+
+
 def test_sharded_full_solve_kit1_halpha():
     """Iterative path (kit=1, CG + H_alpha) sharded == single-device — the
     round-1 sharded tests were all kit=0 (VERDICT round 1, item 5)."""
