@@ -49,9 +49,18 @@ class DD(NamedTuple):
 
 
 def two_sum(a: jax.Array, b: jax.Array) -> DD:
-    """Knuth TwoSum: s + e == a + b exactly, s = fl(a + b)."""
+    """Knuth TwoSum: s + e == a + b exactly, s = fl(a + b).
+
+    The ``0.0 * b`` term is an XLA:CPU fold-blocker, not arithmetic: the
+    algebraic simplifier pattern-matches ``(a + b) - a -> b`` /
+    ``s - (s - a) -> a`` inside fusions (measured in the dd Jacobi: results
+    degraded to plain-f64 accuracy, tests/test_dd_linalg.py), which is
+    exactly the cancellation two_sum exists to capture. Routing ``bb``
+    through a value-identical but structurally distinct node disables the
+    pattern; on TPU (f64 emulated op-by-op, no such fold) it is an exact
+    no-op."""
     s = a + b
-    bb = s - a
+    bb = (s - a) + 0.0 * b
     e = (a - (s - bb)) + (b - bb)
     return DD(s, e)
 
@@ -73,7 +82,10 @@ def two_prod(a: jax.Array, b: jax.Array) -> DD:
 
 def _renorm(hi: jax.Array, lo: jax.Array) -> DD:
     s = hi + lo
-    return DD(s, lo - (s - hi))
+    # (s - hi) + 0.0*lo: XLA:CPU fold-blocker (see two_sum) — the simplifier
+    # rewrite (hi + lo) - hi -> lo would zero the correction entirely
+    t = (s - hi) + 0.0 * lo
+    return DD(s, lo - t)
 
 
 def dd_add(x: DD, y: DD) -> DD:

@@ -142,3 +142,116 @@ def nt_scale(
 def lin_scale(S_lin: jax.Array) -> jax.Array:
     """Elementwise inverse for the LP cone (`src/prepare_W.jl:85-89`)."""
     return 1.0 / S_lin
+
+
+class NTTails(NamedTuple):
+    """dd low words of the NT quantities (native dd NT scaling, the dd2
+    tier's answer to the reference's fully `T`-generic `prepare_W`,
+    `src/prepare_W.jl:41-45` at `T = Float64x4`). The hi words live in the
+    sibling NTScaling; consumers fold these in as first-order corrections
+    (sandwiches, Schur assembly, corrector targets)."""
+
+    D_lo: jax.Array  # [nb, m]
+    G_lo: jax.Array  # [nb, m, m]
+    W_lo: jax.Array  # [nb, m, m]
+    dd_ok: jax.Array  # bool scalar: dd factorizations succeeded everywhere
+
+
+def nt_scale_dd(
+    X: "DD",
+    S: "DD",
+    reg_eps: float = 1e-5,
+    max_reg: int = 1000,
+    eigh_backend: str = "jacobi",
+    sweeps: int | None = None,
+) -> tuple[NTScaling, NTTails]:
+    """NT scaling computed natively in double-double from dd-stored
+    iterates (the dd2 tier).
+
+    Why: the f64 path forms M = L_x' S L_x with absolute noise u64 * ||M||;
+    once mu (the scale of M's small eigenvalues) sinks below that, D and
+    the scaling basis are noise — the measured 9.4e-14 dd2 DIMACS wall
+    (docs/precision.md "the f64 NT wall"). Here chol(X), the congruence,
+    and the Jacobi eigendecomposition all run on (hi, lo) pairs
+    (ops/dd_linalg.py), pushing the formation noise to ~2^-106 * ||M|| —
+    the congruent spectrum survives down to mu ~ 1e-25 with >= 7 correct
+    digits. Reference: `src/prepare_W.jl:28-94` with `T = Float64x4`
+    (`src/Solvers.jl:18`).
+
+    Fallback: if the dd Cholesky reports a nonpositive pivot (iterate not
+    PD at dd resolution — the same breakdown regime where the f64 path
+    regularizes), every output selects the f64 `nt_scale` result with zero
+    tails, and ``tails.dd_ok`` is False. jit-safe (jnp.where select)."""
+    from .dd import DD
+    from .dd_linalg import (
+        dd_chol, dd_const, dd_div, dd_eigh_jacobi, dd_matmul, dd_mul,
+        dd_sqrt, dd_sym, dd_transpose,
+    )
+
+    nb, m = X.hi.shape[0], X.hi.shape[-1]
+    dtype = X.hi.dtype
+
+    # f64 baseline: breakdown flags + the fallback values
+    base = nt_scale(
+        X.hi, S.hi, reg_eps=reg_eps, max_reg=max_reg, method="eigh",
+        eigh_backend=eigh_backend,
+    )
+
+    Lx, chol_ok = dd_chol(X)
+    # M = L_x^T S L_x in dd
+    M = dd_sym(dd_matmul(dd_transpose(Lx), dd_matmul(S, Lx)))
+    # warm start from the f64 eigenbasis of M.hi (the dd sweeps then only
+    # clean up the ~u64 off-diagonal mass)
+    _, V0 = _eigh(sym(M.hi), eigh_backend)
+    lam, V = dd_eigh_jacobi(M, sweeps=sweeps, V0=V0)
+
+    lam_max = jnp.maximum(lam.hi[..., -1:], 1e-300)
+    s_indef = (lam.hi[..., 0] <= 0.0).any()
+    dd_ok = jnp.logical_and(chol_ok.all(), jnp.logical_not(s_indef))
+    ok = jnp.logical_and(base.ok, jnp.logical_not((lam.hi[..., 0] < -1e-2).any()))
+    # dd clamp: 2^-100 relative (vs the f64 path's 1e-14) — keeps sqrt/
+    # divides finite in the not-taken branch without distorting live spectra
+    clamp = 2.0**-100 * lam_max
+    needs = lam.hi < clamp
+    lam = DD(jnp.where(needs, clamp, lam.hi), jnp.where(needs, 0.0, lam.lo))
+
+    D = dd_sqrt(lam)
+    one = dd_const(1.0, D.hi)
+    d_isqrt = dd_div(one, dd_sqrt(D))  # D^{-1/2}
+
+    LxV = dd_matmul(Lx, V)
+    G = dd_mul(LxV, DD(d_isqrt.hi[..., None, :], d_isqrt.lo[..., None, :]))
+    W = dd_sym(dd_matmul(G, dd_transpose(G)))
+
+    # Gi (f64 consumer only: RNT, scaled directions): D^{1/2} V' Lx^{-1}
+    Gi = jnp.sqrt(D.hi)[..., :, None] * jnp.swapaxes(
+        tri_solve(Lx.hi, V.hi, trans=True), -1, -2
+    )
+    # Si = G D^{-1} G^T (exact NT identity), f64 consumers only
+    Si = sym((G.hi / D.hi[..., None, :]) @ jnp.swapaxes(G.hi, -1, -2))
+    # DDsi = diag(G^T S G)^{-1/2} = D^{-1/2} by the dd-exact identity
+    DDsi = d_isqrt.hi
+
+    def pick(dd_val, f64_val):
+        return jnp.where(dd_ok, dd_val, f64_val)
+
+    nts = NTScaling(
+        D=pick(D.hi, base.D),
+        G=pick(G.hi, base.G),
+        Gi=pick(Gi, base.Gi),
+        W=pick(W.hi, base.W),
+        Si=pick(Si, base.Si),
+        DDsi=pick(DDsi, base.DDsi),
+        ok=jnp.where(dd_ok, ok, base.ok),
+        shifted=jnp.where(dd_ok, jnp.zeros((), bool), base.shifted),
+        s_indef=jnp.where(dd_ok, jnp.zeros((), bool), base.s_indef),
+    )
+    zero_m = jnp.zeros_like(base.D)
+    zero_mm = jnp.zeros_like(base.W)
+    tails = NTTails(
+        D_lo=pick(D.lo, zero_m),
+        G_lo=pick(G.lo, zero_mm),
+        W_lo=pick(W.lo, zero_mm),
+        dd_ok=dd_ok,
+    )
+    return nts, tails

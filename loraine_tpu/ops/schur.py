@@ -253,7 +253,9 @@ def schur_group_dd(group: BlockGroup, W: jax.Array, G: jax.Array) -> DD:
 
 def _dd_renorm(hi, lo):
     s = hi + lo
-    return s, lo - (s - hi)
+    # fold-blocker: see ops/dd.py two_sum
+    t = (s - hi) + 0.0 * lo
+    return s, lo - t
 
 
 def lp_weight(X_lin: jax.Array, S_lin_inv: jax.Array) -> jax.Array:
