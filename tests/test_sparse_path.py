@@ -102,19 +102,10 @@ def test_datasparsity_option_drives_storage_split(tmp_path):
     path = "tests/data/tru3.dat-s"
 
     def storage_for(opts):
-        o = Options.from_dict(opts).validated()
-        ds = o.datasparsity
-        if ds == 0:
-            sto, thr, min_n = "dense", 64, 256
-        elif ds is None:
-            sto, thr, min_n = "auto", 64, 256
-        else:
-            sto, thr, min_n = "auto", int(ds), 0
-        p = problem_from_sdpa(path, storage=sto, sparse_max_nnz=thr,
-                              sparse_min_n=min_n)
+        p = lt.load_problem(path, opts)
         return [g.is_sparse for g in p.groups]
 
-    assert not any(storage_for({}))  # auto: n=87 < 256 -> dense
+    assert not any(storage_for({}))  # auto cost model: tiny n -> dense
     assert not any(storage_for({"datasparsity": 0}))  # force dense
     assert all(storage_for({"datasparsity": 64}))  # explicit threshold
     assert not any(storage_for({"datasparsity": 1}))  # threshold below nnz
@@ -124,3 +115,58 @@ def test_datasparsity_option_drives_storage_split(tmp_path):
     r_sparse = lt.solve_sdpa(path, {"verb": 0, "eDIMACS": 1e-6, "datasparsity": 64})
     assert r_dense.status == r_sparse.status == 1
     np.testing.assert_allclose(r_dense.objective, r_sparse.objective, rtol=1e-6)
+
+
+def test_kojima_cost_model_reproduces_shipped_decisions():
+    """The modeled-cost auto-selection (problem.py pick_storage; Kojima et
+    al. cost-comparison idea, reference `src/model.jl:234-287` carried
+    commented-out) reproduces the measured-good storage choices for every
+    shipped SDPLIB instance. Stats (n, per-block (m0, smax)) are the parsed
+    values of the .dat-s files (see also the e2e check below)."""
+    from loraine_tpu.problem import pick_storage
+
+    cases = {
+        # file: (n, [(m0, smax)...], expected)
+        "theta1": (104, [(50, 50)], "dense"),
+        "control1": (21, [(5, 2), (10, 36)], "dense"),
+        "tru3": (36, [(13, 16)], "dense"),
+        "vib3": (36, [(12, 16), (13, 16)], "dense"),
+        "tru9": (3240, [(145, 16)], "sparse"),
+        "vib9": (3240, [(144, 16), (145, 16)], "sparse"),
+        "maxG11": (800, [(800, 1)], "sparse"),
+        "thetaG11": (2401, [(801, 9)], "sparse"),
+    }
+    for name, (n, stats, expected) in cases.items():
+        assert pick_storage(n, stats) == expected, name
+
+
+def test_kojima_cost_model_formulas():
+    from loraine_tpu.problem import (
+        GATHER_PENALTY, SPARSE_OVERHEAD, schur_cost_dense, schur_cost_sparse,
+        pick_storage,
+    )
+
+    # formulas match their definitions
+    assert schur_cost_dense(10, 4, nb=2) == 2 * (10 * 64 + 100 * 16)
+    assert schur_cost_sparse(10, 4, 3, nb=2) == 2 * (
+        10 * 3 * 16 + GATHER_PENALTY * 100 * 3
+    )
+    # monotonicity: denser data (larger s) penalizes the sparse path...
+    assert schur_cost_sparse(500, 64, 32) > schur_cost_sparse(500, 64, 4)
+    # ...larger blocks (m^3 vs m^2 terms) penalize the dense path faster
+    d_ratio = schur_cost_dense(500, 128) / schur_cost_dense(500, 64)
+    s_ratio = schur_cost_sparse(500, 128, 8) / schur_cost_sparse(500, 64, 8)
+    assert d_ratio > s_ratio
+    # the fixed overhead keeps tiny problems dense even for very sparse data
+    assert pick_storage(32, [(16, 2)]) == "dense"
+    assert SPARSE_OVERHEAD > schur_cost_dense(32, 16)
+
+
+def test_kojima_cost_model_e2e_matches_loader(data_dir):
+    """load_problem (datasparsity=None -> cost model) agrees with the
+    direct pick_storage calls on the real files (dense cases checked here;
+    the large sparse-path files are exercised by the bench/slow tests)."""
+    for name, kind in [("theta1", False), ("control1", False),
+                       ("tru3", False), ("vib3", False)]:
+        p = lt.load_problem(str(data_dir / f"{name}.dat-s"), {})
+        assert all(g.is_sparse == kind for g in p.groups), name
