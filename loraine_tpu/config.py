@@ -37,12 +37,13 @@ class Options:
       initpoint: 0 = simple identity start, 1 = SDPT3-like scaled start.
       timing: print per-phase timing tree at the end of the solve.
       maxit: IPM iteration limit.
-      datasparsity: nnz threshold driving the dense/sparse data-kernel split
-        (reference `src/model.jl:153-174`): matrices with at most this many
-        nonzeros are handled by the sparse gather path. None (default) =
-        TPU-tuned auto (threshold 64, applied only when n >= 256, where the
-        dense Schur contraction dominates); 0 = force dense; k > 0 =
-        explicit threshold (reference default is 8), applied at any n.
+      datasparsity: dense/sparse data-kernel split control (reference
+        `src/model.jl:153-174`). None (default) = Kojima-style modeled-cost
+        auto-selection (problem.py pick_storage; the reference carries the
+        original Kojima cost model commented out, `src/model.jl:234-287`);
+        0 = force dense; k > 0 = explicit nnz threshold (the reference's
+        shipped rule, default 8 there): matrices with at most k nonzeros go
+        to the sparse gather path, at any n.
       dtype: 'float64' (default; IPM needs f64 late iterations) or 'float32'.
       pad_multiple: pad LMI block sizes up to a multiple of this (TPU tiling).
       step_eig: 'exact' batched eigh for steplengths, reserved for cheaper
@@ -140,6 +141,18 @@ class Options:
     # the x4-class tier: the DIMACS floor is no longer pinned by f64
     # iterate storage (direct path only; see docs/precision.md).
     precision: str = "f64"
+    # NT-scaling arithmetic for the dd2 tier. The measured dd2 wall
+    # (docs/precision.md "the f64 NT wall") is the f64 NT stack: past
+    # mu ~ 1e-14 the congruent spectrum eig(L_x' S L_x) sinks below the
+    # f64 formation noise and the scaling basis is noise. 'dd' runs the
+    # NT factorizations natively in double-double (ops/dd_linalg.py:
+    # dd Cholesky + GEMM-anchored dd Jacobi warm-started from the f64
+    # eigenbasis) — the TPU-native equivalent of the reference's
+    # type-generic `prepare_W` at Float64x4 (`src/prepare_W.jl:41-45`,
+    # `src/Solvers.jl:18`). 'auto' = 'dd' when precision='dd2', else
+    # 'f64'. 'f64' keeps the plain NT stack (the dd2-without-dd-NT
+    # configuration whose floor the table in docs/precision.md records).
+    nt_precision: str = "auto"
 
     def validated(self) -> "Options":
         """Range-check options, auto-correcting out-of-range values with a
@@ -206,13 +219,19 @@ class Options:
             raise ValueError(
                 f"precision must be 'f64', 'dd', or 'dd2', got {o.precision!r}"
             )
+        if o.nt_precision not in ("auto", "f64", "dd"):
+            raise ValueError(
+                f"nt_precision must be 'auto', 'f64', or 'dd', got "
+                f"{o.nt_precision!r}"
+            )
+        if o.nt_precision == "dd" and o.precision != "dd2":
+            raise ValueError(
+                "nt_precision='dd' (native dd NT scaling) requires "
+                "precision='dd2' (dd-stored iterates feed the dd "
+                "factorizations)"
+            )
         if o.precision in ("dd", "dd2") and o.dtype != "float64":
             raise ValueError(f"precision={o.precision!r} requires dtype='float64'")
-        if o.precision == "dd2" and o.kit != 0:
-            raise ValueError(
-                "precision='dd2' (dd-stored iterates) supports the direct "
-                "path only; use kit=0 (the CG path offers precision='dd')"
-            )
         if o.pad_multiple < 1:
             o.pad_multiple = 1
         return o

@@ -80,6 +80,8 @@ def initial_point(problem: SDPProblem, opts: Options) -> IPMState:
             X_lo=tuple(jnp.zeros_like(X) for X in Xs),
             S_lo=tuple(jnp.zeros_like(S) for S in Ss),
             y_lo=jnp.asarray(np.zeros(n), dtype=dtype),
+            X_lin_lo=None if X_lin is None else jnp.zeros_like(X_lin),
+            S_lin_lo=None if S_lin is None else jnp.zeros_like(S_lin),
         )
     return IPMState(
         X=tuple(Xs),

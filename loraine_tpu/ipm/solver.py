@@ -114,12 +114,9 @@ class Solver:
         p = self.problem
         if o.precision == "dd2":
             # dd2's dd-exact adjoint (Aadj_dd) is implemented for dense
-            # storage; the LP cone is precision='dd' territory for now
-            if p.nlin:
-                raise ValueError(
-                    "precision='dd2' does not support the LP cone yet; "
-                    "use precision='dd'"
-                )
+            # storage (the LP cone and kit=1 are covered: dd lin-cone
+            # updates + dd2 CG refinement, `src/predictor_corrector.jl:
+            # 329-364`, `:131-134` at T = Float64x4)
             if any(g.A is None for g in p.groups):
                 raise ValueError(
                     "precision='dd2' requires dense-stored data "
@@ -425,16 +422,17 @@ def load_problem(path: str, options: Union[Options, Dict[str, Any], None] = None
     options = options.validated()
     dtype = jnp.float64 if options.dtype == "float64" else jnp.float32
     # datasparsity drives the dense/sparse data-kernel split as in the
-    # reference (`src/model.jl:153-174`, docs/src/Loraine_options.md:52-56):
-    # matrices are eligible for the sparse gather path when their nnz is at
-    # most the threshold. None (default) = TPU-tuned auto (threshold 64,
-    # only for n >= 256 where the dense Schur contraction dominates);
-    # 0 = force dense; k > 0 = explicit threshold, applied at any n.
+    # reference (`src/model.jl:153-174`, docs/src/Loraine_options.md:52-56).
+    # None (default) = the Kojima-style modeled-cost auto-selection
+    # (problem.py pick_storage; the reference carries the original cost
+    # model commented out, `src/model.jl:234-287`); 0 = force dense;
+    # k > 0 = explicit nnz threshold (the reference's shipped rule),
+    # applied at any n.
     ds = options.datasparsity
     if ds == 0:
-        storage, thr, min_n = "dense", 64, 256
+        storage, thr, min_n = "dense", None, 256
     elif ds is None:
-        storage, thr, min_n = "auto", 64, 256
+        storage, thr, min_n = "auto", None, 256
     else:
         storage, thr, min_n = "auto", int(ds), 0
     return problem_from_sdpa(

@@ -38,7 +38,8 @@ from ..ops.linalg import (
     sym,
     tri_inv,
 )
-from ..ops.nt_scaling import NTScaling, nt_scale
+from ..ops.dd_linalg import dd_const, dd_div, dd_mul
+from ..ops.nt_scaling import NTScaling, NTTails, nt_scale, nt_scale_dd
 from ..ops.ozaki import acc_matmul, acc_matvec
 from ..ops.precond import prep_alpha, prep_beta
 from ..ops.schur import (
@@ -50,6 +51,7 @@ from ..ops.schur import (
     schur_group,
     schur_group_dd,
     schur_lp,
+    schur_lp_dd,
 )
 from .initial import EXPON, TAU
 from .state import IPMState, StepStats
@@ -121,6 +123,7 @@ def _group_dirs(
     T_dd=None,
     U_dd=None,
     Rd_dd=None,  # dd2: dual residual as a DD pair (keeps delS dd-exact)
+    tail: Optional[NTTails] = None,  # dd NT scaling: W low words
 ) -> _GroupDirs:
     """Directions and per-block steplengths (`find_step`,
     `src/predictor_corrector.jl:248-293`).
@@ -128,13 +131,17 @@ def _group_dirs(
     In dd mode ``dely`` is a DD pair (see solve2): the lo part's sandwich
     contribution keeps A(delX) = Rp exact past the f64 resolution of dely.
     In dd2 mode (``Rd_dd`` given) delS and delX are RETURNED as DD pairs so
-    the iterate updates stay at dd resolution.
+    the iterate updates stay at dd resolution. With ``tail`` (native dd NT,
+    nt_precision='dd') the W sandwich carries the W_lo first-order terms —
+    the SAME terms the Schur assembly folded in, so solve-refinement
+    consistency is preserved.
     """
     dd2 = Rd_dd is not None
     if dd_mode:
         dely, dely_lo = dely.hi, dely.lo
     GT = jnp.swapaxes(nt.G, -1, -2)
     delS = Rd - Aadj(g, dely)
+    adj = None
     if dd2:
         adj = Aadj_dd(g, DD(dely, dely_lo))
         delS_dd = dd_add(Rd_dd, dd_neg(adj))
@@ -148,8 +155,18 @@ def _group_dirs(
         # computed T = W(Rd+S)W (and corrector U = G[sig*mu/D + RNT]G^T)
         # in both the RHS and the direction makes the cancellation exact
         # by construction:  delX = -T + W Aadj(dely) W (+ U).
-        WAW = _sandwich_dd(nt.W, Aadj(g, dely), nt.W)
-        WAW = DD(WAW.hi, WAW.lo + nt.W @ Aadj(g, dely_lo) @ nt.W)
+        if adj is not None:
+            # dd2: reuse the dd adjoint computed for delS (its hi is the
+            # correctly-rounded dd leading word, tighter than the plain
+            # f64 einsum)
+            WAW = _sandwich_dd(nt.W, adj.hi, nt.W)
+            wlo = nt.W @ adj.lo @ nt.W
+            if tail is not None:
+                wlo = wlo + tail.W_lo @ (adj.hi @ nt.W) + (nt.W @ adj.hi) @ tail.W_lo
+            WAW = DD(WAW.hi, WAW.lo + wlo)
+        else:
+            WAW = _sandwich_dd(nt.W, Aadj(g, dely), nt.W)
+            WAW = DD(WAW.hi, WAW.lo + nt.W @ Aadj(g, dely_lo) @ nt.W)
         acc = dd_add(dd_neg(T_dd), WAW)
         if not predict:
             acc = dd_add(acc, U_dd)
@@ -222,6 +239,51 @@ def _lin_dirs(
     return _LinDirs(delX=delX, delS=delS, alpha=_steplen(mX), beta=_steplen(mS))
 
 
+class _LinDirsDD(NamedTuple):
+    delX: DD
+    delS: DD
+    alpha: jax.Array
+    beta: jax.Array
+
+
+def _cmatvec_dd(M: jax.Array, v: DD) -> DD:
+    """M @ v for a dd vector: Ozaki-exact on the hi word, plain f64 on the
+    lo correction."""
+    r = acc_matvec(M, v.hi)
+    s = two_sum(r.hi, M @ v.lo)
+    return DD(s.hi, s.lo + r.lo)
+
+
+def _lin_dirs_dd(
+    problem,
+    Xl: DD,
+    Sl: DD,
+    lpw: DD,
+    Rd_lin: DD,
+    dely: DD,
+    *,
+    predict: bool,
+    U_lin: Optional[DD] = None,
+) -> _LinDirsDD:
+    """LP-cone directions at dd resolution (dd2 tier; `find_step_lin`,
+    `src/predictor_corrector.jl:329-364` with `T = Float64x4`,
+    `src/Solvers.jl:18`).
+
+    ``U_lin`` is the corrector centrality term sig_mu*Si + RNT_lin,
+    computed ONCE by the caller and reused verbatim in the RHS (as its
+    negation inside `tmp`) — the same feasibility-exact construction as
+    the SDP blocks' T/U sandwiches."""
+    adj = _cmatvec_dd(problem.C_lin.T, dely)
+    delS = dd_add(Rd_lin, dd_neg(adj))
+    # delX = -X - lpw*delS (+ U_lin on the corrector); lpw = X/S in dd
+    delX = dd_neg(dd_add(Xl, dd_mul(lpw, delS)))
+    if not predict:
+        delX = dd_add(delX, U_lin)
+    mX = jnp.min(delX.hi / Xl.hi)
+    mS = jnp.min(delS.hi / Sl.hi)
+    return _LinDirsDD(delX=delX, delS=delS, alpha=_steplen(mX), beta=_steplen(mS))
+
+
 def build_step(opts: Options, precond_kind: int, mesh=None):
     """Return step(problem, state, tol_cg) -> (new_state, StepStats).
 
@@ -283,6 +345,14 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
     # computes from the f64 hi parts — its breakdown at mu ~ u64-resolution
     # of X's spectrum is the tier's measured floor (docs/precision.md).
     dd2 = opts.precision == "dd2"
+    # native dd NT scaling (nt_precision): the dd2 tier's fix for the
+    # measured f64 NT wall — chol(X), the congruence L_x' S L_x, and its
+    # Jacobi eigendecomposition run on dd pairs (ops/dd_linalg.py), so the
+    # congruent spectrum (~mu) survives below the f64 formation noise.
+    # Reference equivalent: `prepare_W` at T = Float64x4
+    # (`src/prepare_W.jl:41-45`, `src/Solvers.jl:18`).
+    nt_dd = dd2 if opts.nt_precision == "auto" else opts.nt_precision == "dd"
+    nt_dd = nt_dd and dd2
 
     def _step_mode() -> str:
         mode = opts.step_eig
@@ -391,9 +461,11 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
             X_dds = tuple(DD(X, Xl) for X, Xl in zip(st.X, st.X_lo))
             S_dds = tuple(DD(S, Sl) for S, Sl in zip(st.S, st.S_lo))
             y_dd = DD(st.y, st.y_lo)
+            Xl_dd = DD(st.X_lin, st.X_lin_lo) if nlin else None
+            Sl_dd = DD(st.S_lin, st.S_lin_lo) if nlin else None
         else:
             X_dds = S_dds = (None,) * ngroups
-            y_dd = None
+            y_dd = Xl_dd = Sl_dd = None
 
         # ---- mu (`find_mu`, src/Solvers.jl:480-494)
         if dd2:
@@ -406,6 +478,11 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
                 cross = jnp.sum(Xd.hi * Sd.lo) + jnp.sum(Xd.lo * Sd.hi)
                 s2 = two_sum(t.hi, cross)
                 tr_dd = dd_add(tr_dd, DD(s2.hi, s2.lo + t.lo))
+            if nlin:
+                t = _dd_dot(Xl_dd.hi, Sl_dd.hi)
+                cross = jnp.dot(Xl_dd.hi, Sl_dd.lo) + jnp.dot(Xl_dd.lo, Sl_dd.hi)
+                s2 = two_sum(t.hi, cross)
+                tr_dd = dd_add(tr_dd, DD(s2.hi, s2.lo + t.lo))
             mu = dd_to_f64(tr_dd) / denom
         else:
             tr = jnp.zeros((), dtype=dtype)
@@ -416,18 +493,39 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
             mu = tr / denom
 
         # ---- NT scaling (prepare_W)
-        nts = tuple(
-            nt_scale(X, S, method=opts.nt_method, eigh_backend=opts.eigh_backend,
-                     chol_backend=opts.chol_backend)
-            for X, S in zip(st.X, st.S)
-        )
+        if nt_dd:
+            nt_pairs = tuple(
+                nt_scale_dd(Xd, Sd, eigh_backend=opts.eigh_backend)
+                for Xd, Sd in zip(X_dds, S_dds)
+            )
+            nts = tuple(p[0] for p in nt_pairs)
+            nt_tails = tuple(p[1] for p in nt_pairs)
+        else:
+            nts = tuple(
+                nt_scale(X, S, method=opts.nt_method,
+                         eigh_backend=opts.eigh_backend,
+                         chol_backend=opts.chol_backend)
+                for X, S in zip(st.X, st.S)
+            )
+            nt_tails = (None,) * ngroups
         nt_ok = one.astype(bool)
         nt_suspect = jnp.zeros((), dtype=bool)  # feasibility cert broken
         for nt in nts:
             nt_ok = jnp.logical_and(nt_ok, nt.ok)
             nt_suspect = nt_suspect | nt.shifted | nt.s_indef
-        Si_lin = (1.0 / st.S_lin) if nlin else None
-        lpw = lp_weight(st.X_lin, Si_lin) if nlin else None
+        if nlin and dd2:
+            # LP scaling quantities at dd resolution: Si = 1/S and
+            # lpw = X/S drive the LP Schur block and the lin directions;
+            # their f64 rounding (u64 * ||lpw||, ||lpw|| ~ 1/mu on the
+            # active set) would pin the LP residuals exactly like the
+            # matrix blocks' f64 W did
+            Si_lin_dd = dd_div(dd_const(1.0, st.S_lin), Sl_dd)
+            lpw_dd = dd_mul(Xl_dd, Si_lin_dd)
+            Si_lin, lpw = Si_lin_dd.hi, lpw_dd.hi
+        else:
+            Si_lin_dd = lpw_dd = None
+            Si_lin = (1.0 / st.S_lin) if nlin else None
+            lpw = lp_weight(st.X_lin, Si_lin) if nlin else None
 
         # ---- residuals (`predictor`, src/predictor_corrector.jl:8-22)
         if dd_mode:
@@ -438,7 +536,10 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
                     dd_neg(Aop_dd(g, X, Xd.lo if dd2 else None)),
                 )
             if nlin:
-                lin = acc_matvec(problem.C_lin, st.X_lin)
+                if dd2:
+                    lin = _cmatvec_dd(problem.C_lin, Xl_dd)
+                else:
+                    lin = acc_matvec(problem.C_lin, st.X_lin)
                 Rp_dd = dd_add(Rp_dd, dd_neg(lin))
             Rp = dd_to_f64(Rp_dd)
         else:
@@ -463,7 +564,16 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
             Rds = tuple(
                 sym(g.C - S - Aadj(g, st.y)) for g, S in zip(problem.groups, st.S)
             )
-        Rd_lin = (problem.d_lin - st.S_lin - problem.C_lin.T @ st.y) if nlin else None
+        if nlin and dd2:
+            # Rd_lin = d - S - C_lin' y at dd resolution (TwoSum chain +
+            # dd-exact adjoint, like the matrix blocks' Rd)
+            adj_l = _cmatvec_dd(problem.C_lin.T, y_dd)
+            t = two_sum(problem.d_lin, -Sl_dd.hi)
+            Rd_lin_dd = dd_add(DD(t.hi, t.lo - Sl_dd.lo), dd_neg(adj_l))
+            Rd_lin = Rd_lin_dd.hi
+        else:
+            Rd_lin_dd = None
+            Rd_lin = (problem.d_lin - st.S_lin - problem.C_lin.T @ st.y) if nlin else None
 
         # ---- predictor RHS (`makeRHS`, src/makeBBBB.jl:221-228)
         if dd_mode:
@@ -472,10 +582,16 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
             # dd2: Rd + S carries a dd tail; its W-sandwich enters T.lo
             if dd2:
                 T_dds = []
-                for nt, Rdd, Sd in zip(nts, Rd_dds, S_dds):
+                for nt, tail, Rdd, Sd in zip(nts, nt_tails, Rd_dds, S_dds):
                     M_dd = dd_add(Rdd, Sd)
                     T = _sandwich_dd(nt.W, M_dd.hi, nt.W)
-                    T_dds.append(DD(T.hi, T.lo + nt.W @ M_dd.lo @ nt.W))
+                    tlo = nt.W @ M_dd.lo @ nt.W
+                    if tail is not None:
+                        # W-tail first-order terms (native dd NT): keep T
+                        # consistent with the tailed W of the directions
+                        tlo = tlo + tail.W_lo @ (M_dd.hi @ nt.W) \
+                            + (nt.W @ M_dd.hi) @ tail.W_lo
+                    T_dds.append(DD(T.hi, T.lo + tlo))
                 T_dds = tuple(T_dds)
             else:
                 T_dds = tuple(
@@ -486,9 +602,13 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
             for g, T in zip(problem.groups, T_dds):
                 h_dd = dd_add(h_dd, Aop_dd(g, T.hi, T.lo))
             if nlin:
-                h_dd = dd_add(
-                    h_dd, acc_matvec(problem.C_lin, lpw * Rd_lin + st.X_lin)
-                )
+                if dd2:
+                    v = dd_add(dd_mul(lpw_dd, Rd_lin_dd), Xl_dd)
+                    h_dd = dd_add(h_dd, _cmatvec_dd(problem.C_lin, v))
+                else:
+                    h_dd = dd_add(
+                        h_dd, acc_matvec(problem.C_lin, lpw * Rd_lin + st.X_lin)
+                    )
             h = dd_to_f64(h_dd)
         else:
             T_dds = (None,) * ngroups
@@ -507,10 +627,17 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
             if dd_mode:
                 zero_n = jnp.zeros((problem.n, problem.n), dtype=dtype)
                 H_dd = DD(zero_n, zero_n)
-                for g, nt in zip(problem.groups, nts):
-                    H_dd = dd_add(H_dd, schur_group_dd(g, nt.W, nt.G))
+                for g, nt, tail in zip(problem.groups, nts, nt_tails):
+                    H_dd = dd_add(H_dd, schur_group_dd(
+                        g, nt.W, nt.G,
+                        W_lo=None if tail is None else tail.W_lo,
+                        G_lo=None if tail is None else tail.G_lo,
+                    ))
                 if nlin:
-                    H_dd = dd_add(H_dd, _dd0(schur_lp(problem.C_lin, lpw)))
+                    if dd2:
+                        H_dd = dd_add(H_dd, schur_lp_dd(problem.C_lin, lpw_dd))
+                    else:
+                        H_dd = dd_add(H_dd, _dd0(schur_lp(problem.C_lin, lpw)))
                 Hs_dd = DD(sym(H_dd.hi), sym(H_dd.lo))
                 Hs = Hs_dd.hi
             else:
@@ -712,16 +839,25 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
                 # path's solve2.
                 def matvec_dd(x, xlo):
                     acc = None
-                    for g, nt in zip(problem.groups, nts):
+                    for g, nt, tail in zip(problem.groups, nts, nt_tails):
                         M = Aadj(g, x)
                         Mlo = Aadj(g, xlo)
                         T = _sandwich_dd(nt.W, M, nt.W)
-                        T = DD(T.hi, T.lo + nt.W @ Mlo @ nt.W)
+                        tlo = nt.W @ Mlo @ nt.W
+                        if tail is not None:
+                            # native dd NT: same W-tail terms as the
+                            # direction formulas (operator consistency)
+                            tlo = tlo + tail.W_lo @ (M @ nt.W) + (nt.W @ M) @ tail.W_lo
+                        T = DD(T.hi, T.lo + tlo)
                         r = Aop_dd(g, T.hi, T.lo)
                         acc = r if acc is None else dd_add(acc, r)
                     if nlin:
-                        u = problem.C_lin.T @ x + problem.C_lin.T @ xlo
-                        r = acc_matvec(problem.C_lin, lpw * u)
+                        if dd2:
+                            u = _cmatvec_dd(problem.C_lin.T, DD(x, xlo))
+                            r = _cmatvec_dd(problem.C_lin, dd_mul(lpw_dd, u))
+                        else:
+                            u = problem.C_lin.T @ x + problem.C_lin.T @ xlo
+                            r = acc_matvec(problem.C_lin, lpw * u)
                         acc = r if acc is None else dd_add(acc, r)
                     return acc
 
@@ -748,16 +884,22 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
         dirs = tuple(
             _group_dirs(g, nt, Rd, X, dely, predict=True, eigmin_fn=eigmin_fn,
                         eigrange_fn=range_fn, dd_mode=dd_mode, T_dd=T,
-                        Rd_dd=Rdd)
-            for g, nt, Rd, X, T, Rdd in zip(
-                problem.groups, nts, Rds, st.X, T_dds, Rd_dds
+                        Rd_dd=Rdd, tail=tl)
+            for g, nt, Rd, X, T, Rdd, tl in zip(
+                problem.groups, nts, Rds, st.X, T_dds, Rd_dds, nt_tails
             )
         )
         if nlin:
-            ld = _lin_dirs(
-                problem, st, Si_lin, Rd_lin,
-                dely.hi if dd_mode else dely, predict=True,
-            )
+            if dd2:
+                ld = _lin_dirs_dd(
+                    problem, Xl_dd, Sl_dd, lpw_dd, Rd_lin_dd, dely,
+                    predict=True,
+                )
+            else:
+                ld = _lin_dirs(
+                    problem, st, Si_lin, Rd_lin,
+                    dely.hi if dd_mode else dely, predict=True,
+                )
             alpha_lin, beta_lin = ld.alpha, ld.beta
         else:
             alpha_lin = beta_lin = one
@@ -794,10 +936,23 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
             RNTs.append(-(N + jnp.swapaxes(N, -1, -2)) / deed)
         trXnSn = trXnSn_mat
         if nlin:
-            Xn_lin = st.X_lin + ld.alpha * ld.delX
-            Sn_lin = st.S_lin + ld.beta * ld.delS
-            trXnSn = trXnSn + jnp.dot(Xn_lin, Sn_lin)
-            RNT_lin = -(ld.delX * ld.delS) * Si_lin
+            if dd2:
+                Xn_l_dd = dd_add(Xl_dd, dd_mul_f64(ld.delX, ld.alpha))
+                Sn_l_dd = dd_add(Sl_dd, dd_mul_f64(ld.delS, ld.beta))
+                t = _dd_dot(Xn_l_dd.hi, Sn_l_dd.hi)
+                cross = jnp.dot(Xn_l_dd.hi, Sn_l_dd.lo) + jnp.dot(
+                    Xn_l_dd.lo, Sn_l_dd.hi
+                )
+                trXnSn = trXnSn + t.hi + (t.lo + cross)
+                RNT_lin_dd = dd_neg(
+                    dd_mul(dd_mul(ld.delX, ld.delS), Si_lin_dd)
+                )
+                RNT_lin = RNT_lin_dd.hi
+            else:
+                Xn_lin = st.X_lin + ld.alpha * ld.delX
+                Sn_lin = st.S_lin + ld.beta * ld.delS
+                trXnSn = trXnSn + jnp.dot(Xn_lin, Sn_lin)
+                RNT_lin = -(ld.delX * ld.delS) * Si_lin
         else:
             RNT_lin = None
 
@@ -822,6 +977,14 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
             jnp.minimum(one, _safe_pow(ratio, expon_used)),
         )
         sig_mu = sigma * mu
+        if dd2:
+            # centrality target sigma*mu at dd resolution: near the dd2
+            # floor the f64 product would round the target exactly where
+            # the trajectory needs it (mu below f64 resolution of <X,S>)
+            denom_dd = dd_const(float(denom), tr_dd.hi)
+            sig_mu_dd = dd_mul_f64(dd_div(tr_dd, denom_dd), sigma)
+        else:
+            sig_mu_dd = None
 
         # ---- corrector RHS (`corrector`, src/predictor_corrector.jl:183-192)
         if dd_mode:
@@ -830,25 +993,67 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
             # identities G D G' = W S W and G D^-1 G' = S^-1; phrased as
             # T - U with U = G[sig*mu/D + RNT]G' so the SAME T and U feed
             # the corrector direction (feasibility-exact, see _group_dirs)
-            U_dds = tuple(
-                _sandwich_dd(
-                    nt.G,
-                    _bdiag(sig_mu / nt.D) + RNT,
-                    jnp.swapaxes(nt.G, -1, -2),
+            if nt_dd:
+                # centrality target sig_mu/D at dd resolution: with D now
+                # dd-accurate, an f64 quotient would re-inject u64-relative
+                # noise into the corrector exactly where the trajectory
+                # needs it (mu below the f64 resolution of the spectrum)
+
+                def _U_dd(nt, tail, RNT):
+                    GT_ = jnp.swapaxes(nt.G, -1, -2)
+                    D_dd = DD(nt.D, tail.D_lo)
+                    q = dd_div(
+                        DD(jnp.broadcast_to(sig_mu_dd.hi, nt.D.shape),
+                           jnp.broadcast_to(sig_mu_dd.lo, nt.D.shape)),
+                        D_dd,
+                    )
+                    s = two_sum(_bdiag(q.hi), RNT)
+                    inner = DD(s.hi, s.lo + _bdiag(q.lo))
+                    U = _sandwich_dd(nt.G, inner.hi, GT_)
+                    Ulo = nt.G @ inner.lo @ GT_ \
+                        + tail.G_lo @ (inner.hi @ GT_) \
+                        + (nt.G @ inner.hi) @ jnp.swapaxes(tail.G_lo, -1, -2)
+                    return DD(U.hi, U.lo + Ulo)
+
+                U_dds = tuple(
+                    _U_dd(nt, tail, RNT)
+                    for nt, tail, RNT in zip(nts, nt_tails, RNTs)
                 )
-                for nt, RNT in zip(nts, RNTs)
-            )
+            else:
+                U_dds = tuple(
+                    _sandwich_dd(
+                        nt.G,
+                        _bdiag(sig_mu / nt.D) + RNT,
+                        jnp.swapaxes(nt.G, -1, -2),
+                    )
+                    for nt, RNT in zip(nts, RNTs)
+                )
             h2_dd = Rp_dd
             for g, T, U in zip(problem.groups, T_dds, U_dds):
                 h2_dd = dd_add(h2_dd, Aop_dd(g, T.hi, T.lo))
                 neg = dd_neg(Aop_dd(g, U.hi, U.lo))
                 h2_dd = dd_add(h2_dd, neg)
             if nlin:
-                tmp = ld.delX * ld.delS * Si_lin - sig_mu * Si_lin
-                h2_dd = dd_add(
-                    h2_dd,
-                    acc_matvec(problem.C_lin, lpw * Rd_lin + st.X_lin + tmp),
-                )
+                if dd2:
+                    # U_lin = sig_mu*Si + RNT_lin, computed ONCE and reused
+                    # verbatim in the corrector direction (feasibility-exact
+                    # construction, like the matrix blocks' U sandwich)
+                    sgv = DD(
+                        jnp.broadcast_to(sig_mu_dd.hi, Si_lin_dd.hi.shape),
+                        jnp.broadcast_to(sig_mu_dd.lo, Si_lin_dd.hi.shape),
+                    )
+                    U_lin_dd = dd_add(dd_mul(sgv, Si_lin_dd), RNT_lin_dd)
+                    arg = dd_add(
+                        dd_add(dd_mul(lpw_dd, Rd_lin_dd), Xl_dd),
+                        dd_neg(U_lin_dd),
+                    )
+                    h2_dd = dd_add(h2_dd, _cmatvec_dd(problem.C_lin, arg))
+                else:
+                    tmp = ld.delX * ld.delS * Si_lin - sig_mu * Si_lin
+                    h2_dd = dd_add(
+                        h2_dd,
+                        acc_matvec(problem.C_lin, lpw * Rd_lin + st.X_lin + tmp),
+                    )
             if kit == 0:
                 dely2 = solve2(h2_dd)
             else:
@@ -879,18 +1084,25 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
             _group_dirs(
                 g, nt, Rd, X, dely2,
                 predict=False, sig_mu=sig_mu, RNT=RNT, eigmin_fn=eigmin_fn,
-                dd_mode=dd_mode, T_dd=T, U_dd=U, Rd_dd=Rdd,
+                dd_mode=dd_mode, T_dd=T, U_dd=U, Rd_dd=Rdd, tail=tl,
             )
-            for g, nt, Rd, X, RNT, T, U, Rdd in zip(
-                problem.groups, nts, Rds, st.X, RNTs, T_dds, U_dds, Rd_dds
+            for g, nt, Rd, X, RNT, T, U, Rdd, tl in zip(
+                problem.groups, nts, Rds, st.X, RNTs, T_dds, U_dds, Rd_dds,
+                nt_tails
             )
         )
         if nlin:
-            ld2 = _lin_dirs(
-                problem, st, Si_lin, Rd_lin,
-                dely2.hi if dd_mode else dely2,
-                predict=False, sig_mu=sig_mu, RNT_lin=RNT_lin,
-            )
+            if dd2:
+                ld2 = _lin_dirs_dd(
+                    problem, Xl_dd, Sl_dd, lpw_dd, Rd_lin_dd, dely2,
+                    predict=False, U_lin=U_lin_dd,
+                )
+            else:
+                ld2 = _lin_dirs(
+                    problem, st, Si_lin, Rd_lin,
+                    dely2.hi if dd_mode else dely2,
+                    predict=False, sig_mu=sig_mu, RNT_lin=RNT_lin,
+                )
             alpha_lin2, beta_lin2 = ld2.alpha, ld2.beta
         else:
             alpha_lin2 = beta_lin2 = one
@@ -921,9 +1133,16 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
             X_new = tuple(sym(X + amin * d.delX) for X, d in zip(st.X, dirs2))
             S_new = tuple(sym(S + bmin * d.delS) for S, d in zip(st.S, dirs2))
         if nlin:
-            X_lin_new = st.X_lin + amin * ld2.delX
-            S_lin_new = st.S_lin + bmin * ld2.delS
+            if dd2:
+                Xl_new_dd = dd_add(Xl_dd, dd_mul_f64(ld2.delX, amin))
+                Sl_new_dd = dd_add(Sl_dd, dd_mul_f64(ld2.delS, bmin))
+                X_lin_new, S_lin_new = Xl_new_dd.hi, Sl_new_dd.hi
+            else:
+                Xl_new_dd = Sl_new_dd = None
+                X_lin_new = st.X_lin + amin * ld2.delX
+                S_lin_new = st.S_lin + bmin * ld2.delS
         else:
+            Xl_new_dd = Sl_new_dd = None
             X_lin_new = S_lin_new = None
 
         # ---- DIMACS errors (`check_convergence`, src/Solvers.jl:496-524)
@@ -983,16 +1202,25 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
             err3 = err3 + jnp.linalg.norm(Rd_lin) / (1.0 + normd)
             err4 = err4 + jnp.maximum(0.0, -jnp.min(S_lin_new)) / (1.0 + normd)
             if dd_mode:
-                gap = dd_to_f64(
-                    dd_add(
-                        dd_add(trCX_dd, _dd_dot(problem.d_lin, X_lin_new)),
-                        dd_neg(by_dd),
-                    )
-                )
+                ddX = _dd_dot(problem.d_lin, X_lin_new)
+                if dd2:
+                    s2 = two_sum(ddX.hi, jnp.dot(problem.d_lin, Xl_new_dd.lo))
+                    ddX = DD(s2.hi, s2.lo + ddX.lo)
+                gap = dd_to_f64(dd_add(dd_add(trCX_dd, ddX), dd_neg(by_dd)))
             else:
                 gap = trCX + dX - by
             err5 = gap / (1.0 + jnp.abs(trCX) + jnp.abs(by))
-            err6 = err6 + jnp.dot(S_lin_new, X_lin_new) / (1.0 + jnp.abs(dX) + jnp.abs(by))
+            if dd2:
+                # LP complementarity at dd resolution: near the floor the
+                # f64 dot's noise u64*||S||*||X|| exceeds the true value
+                t = _dd_dot(Sl_new_dd.hi, Xl_new_dd.hi)
+                cross = jnp.dot(Sl_new_dd.hi, Xl_new_dd.lo) + jnp.dot(
+                    Sl_new_dd.lo, Xl_new_dd.hi
+                )
+                SXl = t.hi + (t.lo + cross)
+            else:
+                SXl = jnp.dot(S_lin_new, X_lin_new)
+            err6 = err6 + SXl / (1.0 + jnp.abs(dX) + jnp.abs(by))
         else:
             if dd_mode:
                 gap = dd_to_f64(dd_add(trCX_dd, dd_neg(by_dd)))
@@ -1011,6 +1239,8 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
                 X_lo=tuple(x.lo for x in X_new_dds),
                 S_lo=tuple(s_.lo for s_ in S_new_dds),
                 y_lo=y_new_dd.lo,
+                X_lin_lo=None if Xl_new_dd is None else Xl_new_dd.lo,
+                S_lin_lo=None if Sl_new_dd is None else Sl_new_dd.lo,
             )
         else:
             new_state = IPMState(
@@ -1188,7 +1418,7 @@ _STEP_CACHE = {}
 _TRACE_RELEVANT = (
     "kit", "erank", "aamat", "cg_maxiter", "nt_method", "dtype", "step_eig",
     "eigh_backend", "precision", "cg_materialize", "gemm_backend",
-    "chol_backend", "cg_kernel",
+    "chol_backend", "cg_kernel", "nt_precision",
 )
 
 

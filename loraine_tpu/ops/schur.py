@@ -41,6 +41,7 @@ __all__ = [
     "lp_weight",
     "Aop_dd",
     "schur_group_dd",
+    "schur_lp_dd",
 ]
 
 
@@ -213,17 +214,33 @@ def Aop_dd(group: BlockGroup, M: jax.Array, Mlo=None) -> DD:
     return r
 
 
-def schur_group_dd(group: BlockGroup, W: jax.Array, G: jax.Array) -> DD:
+def schur_group_dd(
+    group: BlockGroup,
+    W: jax.Array,
+    G: jax.Array,
+    W_lo: jax.Array | None = None,
+    G_lo: jax.Array | None = None,
+) -> DD:
     """Schur contribution in double-double (the high-precision mode's
     replacement for `schur_group`): every GEMM is an Ozaki-sliced exact
     product, accumulations are dd. Cost is a constant factor (~15-20 GEMMs
     per GEMM) over the f64 path, all MXU-shaped.
+
+    ``W_lo``/``G_lo``: dd low words of the NT quantities (native dd NT
+    scaling, nt_precision='dd'). Their first-order contributions
+    (W_lo A W + W A W_lo sandwiched into H; B G_lo folded into the rank-1
+    factor product) are u64-small relative terms evaluated as plain f64
+    GEMMs — they keep the assembled H consistent with the dd-tailed W used
+    in the direction formulas, so the Schur-solve refinement converges to
+    the tailed operator's solution.
 
     Sparse-storage groups fall back to the f64 gather path (their Schur
     contribution enters the dd accumulator with an f64-accurate hi part);
     the dd mode's intended regime is dense/rank-1 data."""
     if group.is_rank1:
         BG = acc_matmul(group.B, G)  # [nb, n, m] dd
+        if G_lo is not None:
+            BG = DD(BG.hi, BG.lo + jnp.einsum("bjm,bmp->bjp", group.B, G_lo))
         GT = jnp.swapaxes(BG.hi, -1, -2)
         P = acc_matmul(BG.hi, GT)  # [nb, n, n] dd
         # lo-part cross terms: BG.lo @ BG.hi^T and its transpose (u^2-level
@@ -242,6 +259,9 @@ def schur_group_dd(group: BlockGroup, W: jax.Array, G: jax.Array) -> DD:
     WA = acc_matmul(W[:, None], group.A)  # [nb, n, m, m] dd
     T = acc_matmul(WA.hi, W[:, None])
     Tlo = WA.lo @ W[:, None]
+    if W_lo is not None:
+        # first-order W-tail terms: W_lo A W + W A W_lo (f64 GEMMs)
+        Tlo = Tlo + W_lo[:, None] @ (group.A @ W[:, None]) + WA.hi @ W_lo[:, None]
     T = DD(*_dd_renorm(T.hi, T.lo + Tlo))
     Af = jnp.moveaxis(group.A, 1, 0).reshape(n, -1)  # [n, b*m*m]
     Thf = jnp.moveaxis(T.hi, 1, 0).reshape(n, -1)
@@ -265,3 +285,17 @@ def lp_weight(X_lin: jax.Array, S_lin_inv: jax.Array) -> jax.Array:
 def schur_lp(C_lin: jax.Array, w: jax.Array) -> jax.Array:
     """[n, n] <- C_lin diag(w) C_lin^T."""
     return (C_lin * w[None, :]) @ C_lin.T
+
+
+def schur_lp_dd(C_lin: jax.Array, w: DD) -> DD:
+    """schur_lp at dd accuracy (dd2 LP-cone support): the C*w scaling is an
+    error-free TwoProd (a plain f64 product would re-inject u64*||H_lp||
+    noise before the exact GEMM), the big product is the Ozaki-sliced exact
+    GEMM, and the w.lo first-order term is a plain f64 GEMM. Reference
+    equivalent: the LP block of `makeBBBB` at T = Float64x4
+    (`src/makeBBBB.jl:24-36`, `src/Solvers.jl:18`)."""
+    p = two_prod(C_lin, w.hi[None, :])
+    H = acc_matmul(p.hi, C_lin.T)
+    corr = (p.lo + C_lin * w.lo[None, :]) @ C_lin.T
+    s = two_sum(H.hi, corr)
+    return DD(*_dd_renorm(s.hi, s.lo + H.lo))

@@ -221,3 +221,66 @@ def test_dd_eigh_odd_size():
     refs = sorted([E[i] for i in range(m)])
     for i in range(m):
         assert abs(_dd_val(lam.hi[0, i], lam.lo[0, i]) - refs[i]) < 1e-29, i
+
+
+def test_nt_scale_dd_identities_beyond_f64():
+    """Native dd NT scaling (nt_scale_dd): with X carrying a mu ~ 1e-16
+    spectrum (its tiny eigenvalues live below f64 absolute resolution), the
+    scaling point must still satisfy the defining NT identities at dd
+    accuracy — the exact regime where the f64 path's D is formation noise
+    (docs/precision.md "the f64 NT wall"). Reference: `src/prepare_W.jl:
+    28-94` at `T = Float64x4` (`src/Solvers.jl:18`)."""
+    from loraine_tpu.ops.nt_scaling import nt_scale, nt_scale_dd
+
+    m = 8
+    Xmp, Xdd = _graded_spd(m, 16, seed=11)
+    Smp, Sdd = _graded_spd(m, 12, seed=13)
+    X = DD(Xdd.hi[None], Xdd.lo[None])
+    S = DD(Sdd.hi[None], Sdd.lo[None])
+    nts, tails = nt_scale_dd(X, S)
+    assert bool(tails.dd_ok)
+
+    # oracle: D = sqrt(eig(X S)) in mpmath
+    E, _ = mp.eigsy(mp.cholesky(Xmp).T * Smp * mp.cholesky(Xmp))
+    refs = sorted([mp.sqrt(E[i]) for i in range(m)])
+    for i in range(m):
+        got = _dd_val(nts.D[0, i], tails.D_lo[0, i])
+        rel = abs((got - refs[i]) / refs[i])
+        # high RELATIVE accuracy across the whole graded spectrum (measured
+        # 4e-18 on the tiny end: the graded dd-Cholesky forward error of
+        # forming L_x' S L_x, not the Jacobi) — the f64 path has ZERO
+        # correct digits on the small half (abs noise u64*||M|| >> lam)
+        assert rel < 1e-14, (i, float(rel))
+    # f64 comparison point on the tiny end: its D is formation noise
+    base = nt_scale(np.asarray(X.hi), np.asarray(S.hi), method="eigh")
+    f64_rel = abs((mp.mpf(float(base.D[0, 0])) - refs[0]) / refs[0])
+    got0 = _dd_val(nts.D[0, 0], tails.D_lo[0, 0])
+    assert f64_rel > 1e4 * abs((got0 - refs[0]) / refs[0])
+
+    # W S W = X at dd-class accuracy (the identity the feasibility-exact
+    # directions rely on); f64 W would miss at u64 * ||W||^2
+    W = DD(jnp.asarray(nts.W), jnp.asarray(tails.W_lo))
+    WSW = dd_matmul(W, dd_matmul(S, W))
+    scale = float(np.abs(np.asarray(X.hi)).max())
+    err = np.abs(np.asarray(dd_to_f64(WSW) - dd_to_f64(X))).max()
+    assert err < 1e-25 * scale
+
+    # G^T S G = diag(D) in dd
+    G = DD(jnp.asarray(nts.G), jnp.asarray(tails.G_lo))
+    GT = DD(jnp.swapaxes(G.hi, -1, -2), jnp.swapaxes(G.lo, -1, -2))
+    GSG = dd_matmul(GT, dd_matmul(S, G))
+    got = np.asarray(dd_to_f64(GSG))[0]
+    offdiag = got - np.diag(np.diag(got))
+    assert np.abs(offdiag).max() < 1e-25 * float(np.abs(got).max())
+
+    # fallback contract: an X that is indefinite at dd resolution selects
+    # the f64 result with zero tails and dd_ok=False
+    Xbad_hi = np.asarray(X.hi).copy()
+    Xbad_hi[0, -1, -1] = -1.0
+    Xbad = DD(jnp.asarray(Xbad_hi), jnp.zeros_like(X.lo))
+    Sgood = DD(S.hi, jnp.zeros_like(S.lo))
+    nts_b, tails_b = nt_scale_dd(Xbad, Sgood)
+    assert not bool(tails_b.dd_ok)
+    base = nt_scale(Xbad.hi, Sgood.hi, method="eigh")
+    np.testing.assert_allclose(np.asarray(nts_b.W), np.asarray(base.W))
+    assert float(np.abs(np.asarray(tails_b.W_lo)).max()) == 0.0

@@ -118,13 +118,47 @@ def test_theta1_dd2_iterate_tails(data_dir):
 def test_dd2_validation():
     import pytest as _pytest
 
-    with _pytest.raises(ValueError):
-        lt.Options(precision="dd2", kit=1).validated()  # direct path only
+    # dd2 requires dense-stored data (Aadj_dd has no sparse path)
     rng = np.random.default_rng(0)
-    A = rng.standard_normal((4, 3, 3))
+    with _pytest.raises(ValueError):
+        lt.Options(precision="dd2", dtype="float32").validated()
+    with _pytest.raises(ValueError):
+        lt.Options(nt_precision="dd", precision="dd").validated()
+
+
+def test_dd2_lp_cone_floor():
+    """dd2 now covers the LP cone (round-4; reference equivalent: the
+    type-generic lin-cone updates `src/predictor_corrector.jl:329-364` at
+    T = Float64x4): a mixed PSD+LP problem converges below any f64-class
+    floor, with the lin iterates carried as dd pairs."""
+    rng = np.random.default_rng(5)
+    n, m = 6, 5
+    A = rng.standard_normal((n, m, m))
     A = (A + A.transpose(0, 2, 1)) / 2
-    p = lt.problem_from_dense([A], [np.eye(3) * 3], np.zeros(4),
-                              C_lin=rng.standard_normal((4, 2)),
-                              d_lin=np.ones(2), storage="dense")
-    with _pytest.raises(ValueError):  # LP cone unsupported in dd2
-        lt.Solver(p, {"precision": "dd2"})
+    C = np.eye(m)
+    b = rng.standard_normal(n) * 0.1
+    C_lin = rng.standard_normal((n, 4))
+    d_lin = np.abs(rng.standard_normal(4)) + 1.0
+    p = lt.problem_from_dense([A], [C], b, C_lin=C_lin, d_lin=d_lin,
+                              storage="dense")
+    r64 = lt.solve(p, {"eDIMACS": 1e-7, "verb": 0})
+    rdd2 = lt.solve(p, {"eDIMACS": 1e-13, "verb": 0, "precision": "dd2",
+                        "maxit": 40})
+    assert r64.status == 1 and rdd2.status == 1
+    assert abs(r64.objective - rdd2.objective) < 1e-6
+    assert rdd2.dimacs < 1e-13
+
+
+def test_dd2_on_cg_path(data_dir):
+    """dd2 kit=1 (round-4): PCG wrapped in dd refinement against the
+    dd2-tailed operator (`src/predictor_corrector.jl:131-134` Float64xN-
+    typed CG); theta1 converges below the f64 kit=1 floor class."""
+    r = lt.solve_sdpa(
+        str(data_dir / "theta1.dat-s"),
+        {"precision": "dd2", "kit": 1, "preconditioner": 1,
+         "eDIMACS": 1e-10, "tol_cg_min": 1e-10, "initpoint": 1, "verb": 0,
+         "maxit": 40, "datasparsity": 0},
+    )
+    assert r.status == 1
+    np.testing.assert_allclose(r.objective, 23.0, rtol=1e-8)
+    assert r.dimacs < 1e-10
