@@ -174,6 +174,68 @@ def schur_axis_direct(sizes):
     return results
 
 
+def maxg_direct(sizes, n=4096, edges_per_vertex=6):
+    """Large-n distributed direct path on a REAL problem class (round-4
+    VERDICT #8): a maxG-class cut relaxation (SDPLIB maxG11/maxG32 regime:
+    one n x n block, n constraints, rank-1 data e_j e_j^T) at n=4096 —
+    larger than every shipped SDPLIB instance. kit=0 with H rows sharded
+    over the schur axis: rank-1 assembly ((B G)(B G)^T)**2 runs shard-
+    local over H rows, the distributed blocked Cholesky + tri_inv
+    factorizes without ever gathering H (ops/linalg.py shard=). Reports
+    per-device memory for the dominant arrays (B factor + H/L/Li row
+    shards) and static collective bytes/step from compiled HLO."""
+    import jax
+    import jax.numpy as jnp
+
+    import loraine_tpu as lt
+    from loraine_tpu.ipm.initial import initial_point
+    from loraine_tpu.ipm.step import build_step
+    from loraine_tpu.models.maxcut import maxcut_problem
+    from loraine_tpu.parallel.mesh import make_mesh, shard_problem, shard_state
+
+    rng = np.random.default_rng(7)
+    W = np.zeros((n, n))
+    for _ in range(n * edges_per_vertex // 2):
+        i, j = rng.integers(0, n, 2)
+        if i != j:
+            w = 1.0 + rng.random()
+            W[i, j] += w
+            W[j, i] += w
+    prob = maxcut_problem(W, datarank=-1)
+    assert any(g.is_rank1 for g in prob.groups)
+    opts = lt.Options(verb=0, kit=0).validated()
+    st0 = initial_point(prob, opts)
+    tol = jnp.asarray(1e-2, dtype=prob.b.dtype)
+    b_bytes = n * n * 8  # rank-1 factor stack B [1, n, n]
+    results = []
+    base = None
+    for nd in sizes:
+        mesh = make_mesh((1, nd), jax.devices()[:nd])
+        step = jax.jit(build_step(opts, -1, mesh=mesh if nd > 1 else None))
+        sp = shard_problem(prob, mesh)
+        ss = shard_state(st0, prob, mesh)
+        compiled = step.lower(sp, ss, tol).compile()
+        out = compiled(sp, ss, tol)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(2):
+            out = compiled(sp, ss, tol)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / 2
+        if base is None:
+            base = dt
+        h_bytes = 3 * (n * n // nd) * 8  # H + L + Li row shards
+        results.append({
+            "case": f"maxg-direct-n{n}", "devices": nd,
+            "step_ms": round(dt * 1e3, 1),
+            "vs_1dev": round(base / dt, 2),
+            "bytes_per_device_mb": round((b_bytes / nd + h_bytes) / 1e6, 1),
+            "collectives": collective_bytes(compiled.as_text()) if nd > 1 else {},
+        })
+        print(json.dumps(results[-1]), flush=True)
+    return results
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -224,6 +286,7 @@ def main():
         print(json.dumps(results[-1]), flush=True)
     results += schur_axis_cg([s for s in (1, 2, 4, 8) if s <= ndev])
     results += schur_axis_direct([s for s in (1, 2, 4, 8) if s <= ndev])
+    results += maxg_direct([s for s in (1, 8) if s <= ndev])
     return results
 
 

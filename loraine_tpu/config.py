@@ -141,6 +141,18 @@ class Options:
     # the x4-class tier: the DIMACS floor is no longer pinned by f64
     # iterate storage (direct path only; see docs/precision.md).
     precision: str = "f64"
+    # Schur-assembly precision schedule. 'auto' (default): on TPU, for
+    # flop-heavy problems (n >= 512), assemble H with f32 MXU GEMMs
+    # (ops/schur.py schur_group_mixed — measured ~10x the emulated-f64
+    # GEMM throughput on v5e) while total DIMACS > 1e-3, then rebuild
+    # with the exact f64 assembly for the endgame. Residuals, NT scaling,
+    # directions, and the DIMACS errors stay f64 throughout, so reported
+    # accuracy is trustworthy in both phases. 'f64': always exact.
+    # 'f32': force the mixed assembly for the whole solve (testing /
+    # loose-tolerance runs). Reference cost profile: `src/makeBBBB.jl:
+    # 24-36`; the switch mirrors the reference's hybrid-preconditioner
+    # rebuild mechanics (`src/Solvers.jl:339-347`).
+    assembly_precision: str = "auto"
     # NT-scaling arithmetic for the dd2 tier. The measured dd2 wall
     # (docs/precision.md "the f64 NT wall") is the f64 NT stack: past
     # mu ~ 1e-14 the congruent spectrum eig(L_x' S L_x) sinks below the
@@ -218,6 +230,16 @@ class Options:
         if o.precision not in ("f64", "dd", "dd2"):
             raise ValueError(
                 f"precision must be 'f64', 'dd', or 'dd2', got {o.precision!r}"
+            )
+        if o.assembly_precision not in ("auto", "f64", "f32"):
+            raise ValueError(
+                f"assembly_precision must be 'auto', 'f64', or 'f32', got "
+                f"{o.assembly_precision!r}"
+            )
+        if o.assembly_precision == "f32" and o.precision != "f64":
+            raise ValueError(
+                "assembly_precision='f32' conflicts with high-precision "
+                "modes (precision='dd'/'dd2')"
             )
         if o.nt_precision not in ("auto", "f64", "dd"):
             raise ValueError(

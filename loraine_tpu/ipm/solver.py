@@ -228,8 +228,21 @@ class Solver:
         # builder so the CG vectors are anchored to the schur axis (the
         # distributed Schur solve — see build_step)
         mesh = _detect_mesh(p)
+        # mixed f32 Schur assembly phase (assembly_precision; the chunk
+        # signals mixed_off when DIMACS crosses the handover threshold and
+        # the loop rebuilds with the exact f64 assembly — same mechanics
+        # as the reference's hybrid-preconditioner switch)
+        if o.precision != "f64":
+            mixed = False
+        elif o.assembly_precision == "f32":
+            mixed = True
+        elif o.assembly_precision == "auto":
+            mixed = jax.default_backend() == "tpu" and p.n >= 512
+        else:
+            mixed = False
         with self.timer.phase("build/compile step"):
-            chunk = jitted_chunk(o, precond_kind, K, mesh=mesh)
+            chunk = jitted_chunk(o, precond_kind, K, mesh=mesh,
+                                 mixed_assembly=mixed)
 
         tol_cg = o.tol_cg
         status = 0
@@ -305,6 +318,15 @@ class Solver:
                 elif status == 4 and it >= o.maxit:
                     print("WARNING: Stopped by iteration limit (stopping status = 4)")
 
+            # mixed f32 -> exact f64 assembly handover, signaled by the chunk
+            if status == 0 and mixed and bool(res.mixed_off):
+                mixed = False
+                if o.verb > 0:
+                    print("Switching to exact f64 Schur assembly")
+                with self.timer.phase("build/compile step"):
+                    chunk = jitted_chunk(o, precond_kind, K, mesh=mesh,
+                                         mixed_assembly=mixed)
+
             # hybrid preconditioner switch (src/Solvers.jl:339-347), signaled
             # by the device chunk
             if status == 0 and bool(switch):
@@ -313,7 +335,8 @@ class Solver:
                 if o.verb > 0:
                     print("Switching to preconditioner 1")
                 with self.timer.phase("build/compile step"):
-                    chunk = jitted_chunk(o, precond_kind, K, mesh=mesh)
+                    chunk = jitted_chunk(o, precond_kind, K, mesh=mesh,
+                                         mixed_assembly=mixed)
 
         if profiler_cm is not None:
             jax.block_until_ready(state)

@@ -50,8 +50,10 @@ from ..ops.schur import (
     lp_weight,
     schur_group,
     schur_group_dd,
+    schur_group_mixed,
     schur_lp,
     schur_lp_dd,
+    schur_lp_mixed,
 )
 from .initial import EXPON, TAU
 from .state import IPMState, StepStats
@@ -284,11 +286,19 @@ def _lin_dirs_dd(
     return _LinDirsDD(delX=delX, delS=delS, alpha=_steplen(mX), beta=_steplen(mS))
 
 
-def build_step(opts: Options, precond_kind: int, mesh=None):
+def build_step(opts: Options, precond_kind: int, mesh=None,
+               mixed_assembly: bool = False):
     """Return step(problem, state, tol_cg) -> (new_state, StepStats).
 
     ``opts`` and ``precond_kind`` are static (the hybrid 4 -> 1 switch of
     `src/Solvers.jl:339-347` rebuilds the step once at the switch).
+
+    ``mixed_assembly``: assemble the Schur matrix with the f32-MXU fast
+    path (ops/schur.py schur_group_mixed) — the early-iteration phase of
+    assembly_precision='auto'; the host loop rebuilds with False once
+    DIMACS < 1e-3 (ipm/solver.py). Everything else (residuals, NT,
+    directions, errors) stays exact f64, so the reported DIMACS remains
+    trustworthy while mixed.
 
     ``mesh``: when the problem data is sharded over a ('blocks', 'schur')
     mesh, anchor the CG vectors to the schur (constraint) axis so GSPMD
@@ -643,9 +653,13 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
             else:
                 H = jnp.zeros((problem.n, problem.n), dtype=dtype)
                 for g, nt in zip(problem.groups, nts):
-                    H = H + schur_group(g, nt.W, nt.G, opts.gemm_backend)
+                    if mixed_assembly:
+                        H = H + schur_group_mixed(g, nt.W, nt.G)
+                    else:
+                        H = H + schur_group(g, nt.W, nt.G, opts.gemm_backend)
                 if nlin:
-                    H = H + schur_lp(problem.C_lin, lpw)
+                    H = H + (schur_lp_mixed(problem.C_lin, lpw)
+                             if mixed_assembly else schur_lp(problem.C_lin, lpw))
                 Hs = sym(H)
             # absolute 1e-4 shift, reference semantics
             # (`src/predictor_corrector.jl:74`). Relative (diag-scaled)
@@ -710,9 +724,13 @@ def build_step(opts: Options, precond_kind: int, mesh=None):
             if mat_cg:
                 Hcg = jnp.zeros((problem.n, problem.n), dtype=dtype)
                 for g, nt in zip(problem.groups, nts):
-                    Hcg = Hcg + schur_group(g, nt.W, nt.G, opts.gemm_backend)
+                    if mixed_assembly:
+                        Hcg = Hcg + schur_group_mixed(g, nt.W, nt.G)
+                    else:
+                        Hcg = Hcg + schur_group(g, nt.W, nt.G, opts.gemm_backend)
                 if nlin:
-                    Hcg = Hcg + schur_lp(problem.C_lin, lpw)
+                    Hcg = Hcg + (schur_lp_mixed(problem.C_lin, lpw)
+                                 if mixed_assembly else schur_lp(problem.C_lin, lpw))
                 Hcg = sym(Hcg)
                 matvec = lambda x: Hcg @ x
             else:
@@ -1299,6 +1317,7 @@ class ChunkResult(NamedTuple):
     regcount: jax.Array
     status: jax.Array  # 0 = still running
     switch: jax.Array  # hybrid preconditioner 4 -> 1 switch requested
+    mixed_off: jax.Array  # mixed f32 assembly -> exact f64 switch requested
 
 
 class _ChunkCarry(NamedTuple):
@@ -1310,11 +1329,20 @@ class _ChunkCarry(NamedTuple):
     regcount: jax.Array
     status: jax.Array
     switch: jax.Array
+    mixed_off: jax.Array
 
 
-def build_chunk(opts: Options, precond_kind: int, K: int, mesh=None):
+# DIMACS threshold below which the mixed f32 assembly hands over to the
+# exact f64 path (assembly_precision='auto'): the f32 H's ~1e-6 relative
+# error is backward-error-class safe down to here, with an order of margin
+MIXED_ASSEMBLY_DIMACS = 1e-3
+
+
+def build_chunk(opts: Options, precond_kind: int, K: int, mesh=None,
+                mixed_assembly: bool = False):
     """Return chunk(problem, state, tol_cg, it0, regcount0) -> ChunkResult."""
-    step = build_step(opts, precond_kind, mesh=mesh)
+    step = build_step(opts, precond_kind, mesh=mesh,
+                      mixed_assembly=mixed_assembly)
     hybrid = opts.kit == 1 and precond_kind == 4
 
     def chunk(problem: SDPProblem, state: IPMState, tol_cg, it0, regcount0):
@@ -1329,10 +1357,9 @@ def build_chunk(opts: Options, precond_kind: int, K: int, mesh=None):
         )
 
         def cond(c: _ChunkCarry):
-            return jnp.logical_and(
-                jnp.logical_and(c.status == 0, jnp.logical_not(c.switch)),
-                c.k < K,
-            )
+            running = jnp.logical_and(c.status == 0, jnp.logical_not(c.switch))
+            running = jnp.logical_and(running, jnp.logical_not(c.mixed_off))
+            return jnp.logical_and(running, c.k < K)
 
         def body(c: _ChunkCarry):
             new_state, stats = step(problem, c.state, c.tol_cg)
@@ -1368,6 +1395,13 @@ def build_chunk(opts: Options, precond_kind: int, K: int, mesh=None):
             else:
                 switch = jnp.asarray(False)
 
+            if mixed_assembly:
+                # hand over to the exact f64 assembly near convergence
+                # (host rebuilds the chunk; see ipm/solver.py)
+                mixed_off = (status == 0) & (dimacs < MIXED_ASSEMBLY_DIMACS)
+            else:
+                mixed_off = jnp.asarray(False)
+
             buf = StepStats(
                 *(b.at[c.k].set(v) for b, v in zip(c.buf, stats))
             )
@@ -1375,18 +1409,20 @@ def build_chunk(opts: Options, precond_kind: int, K: int, mesh=None):
             return _ChunkCarry(
                 state=new_state, buf=buf, k=c.k + 1, it=it, tol_cg=tol_cg,
                 regcount=regcount, status=status, switch=switch,
+                mixed_off=mixed_off,
             )
 
         init = _ChunkCarry(
             state=state, buf=buf0, k=jnp.int32(0), it=jnp.asarray(it0, jnp.int32),
             tol_cg=jnp.asarray(tol_cg, dtype), regcount=jnp.asarray(regcount0, jnp.int32),
             status=jnp.int32(0), switch=jnp.asarray(False),
+            mixed_off=jnp.asarray(False),
         )
         out = jax.lax.while_loop(cond, body, init)
         return ChunkResult(
             state=out.state, buf=out.buf, k=out.k, it=out.it,
             tol_cg=out.tol_cg, regcount=out.regcount, status=out.status,
-            switch=out.switch,
+            switch=out.switch, mixed_off=out.mixed_off,
         )
 
     return chunk
@@ -1395,17 +1431,19 @@ def build_chunk(opts: Options, precond_kind: int, K: int, mesh=None):
 _CHUNK_CACHE = {}
 
 
-def jitted_chunk(opts: Options, precond_kind: int, K: int, mesh=None):
+def jitted_chunk(opts: Options, precond_kind: int, K: int, mesh=None,
+                 mixed_assembly: bool = False):
     """Jitted chunked loop, cached like jitted_step (same trace-relevant
     key + eDIMACS/maxit/tol schedule, which are baked into the chunk)."""
     key = (
         tuple(getattr(opts, f) for f in _TRACE_RELEVANT),
         precond_kind, K, opts.eDIMACS, opts.maxit, opts.tol_cg_up,
-        opts.tol_cg_min, mesh,
+        opts.tol_cg_min, mesh, mixed_assembly,
     )
     fn = _CHUNK_CACHE.get(key)
     if fn is None:
-        fn = jax.jit(build_chunk(opts, precond_kind, K, mesh=mesh))
+        fn = jax.jit(build_chunk(opts, precond_kind, K, mesh=mesh,
+                                 mixed_assembly=mixed_assembly))
         _CHUNK_CACHE[key] = fn
     return fn
 

@@ -20,15 +20,36 @@ __all__ = ["maxcut_problem", "solve_maxcut"]
 
 
 def maxcut_problem(weights: np.ndarray, datarank: int = 0, pad_multiple: int = 8) -> SDPProblem:
+    """Build via the COO (SDPA-data) path: the data matrices are N singleton
+    diagonals E_jj, so materializing the dense [N, N, N] stack (the naive
+    construction) costs O(N^3) host memory — 512 GB at N=4096. The COO
+    build is O(nnz(W) + N)."""
+    from ..io.sdpa import SDPAData
+    from ..problem import problem_from_sdpa
+
     W = np.asarray(weights, dtype=np.float64)
     N = W.shape[0]
-    L = np.diag(W @ np.ones(N)) - W
-    A = np.zeros((N, N, N))
-    for j in range(N):
-        A[j, j, j] = 1.0
-    C = -0.25 * L
-    b = np.ones(N)
-    return problem_from_dense([A], [C], b, datarank=datarank, pad_multiple=pad_multiple)
+    # F_0 = -C = L/4 (upper triangle, 0-based), F_j = -A_j = -E_jj, c = -b
+    deg = W @ np.ones(N)
+    rows0, cols0 = np.nonzero(np.triu(W, 1))
+    mat = np.concatenate([
+        np.zeros(N + rows0.size, dtype=np.int64),  # F_0 entries
+        np.arange(1, N + 1),                       # F_j = -E_jj
+    ])
+    row = np.concatenate([np.arange(N), rows0, np.arange(N)])
+    col = np.concatenate([np.arange(N), cols0, np.arange(N)])
+    val = np.concatenate([
+        0.25 * deg,            # F_0 diagonal: L/4 = diag(deg)/4 - W/4
+        -0.25 * W[rows0, cols0],
+        -np.ones(N),
+    ])
+    data = SDPAData(
+        nvar=N,
+        block_sizes=[N],
+        c=-np.ones(N),
+        blocks=[(mat, row, col, val)],
+    )
+    return problem_from_sdpa(data, datarank=datarank, pad_multiple=pad_multiple)
 
 
 def solve_maxcut(

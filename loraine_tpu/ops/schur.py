@@ -37,7 +37,9 @@ __all__ = [
     "Aadj",
     "Aadj_dd",
     "schur_group",
+    "schur_group_mixed",
     "schur_lp",
+    "schur_lp_mixed",
     "lp_weight",
     "Aop_dd",
     "schur_group_dd",
@@ -127,9 +129,49 @@ def schur_group(
         return jnp.einsum("bj,bk,bjk,bjk->jk", group.Bsgn, group.Bsgn, P, P)
     if group.is_sparse:
         return _schur_sparse(group, W)
+    nb, n, m, _ = group.A.shape
+    # Large dense data: chunk the T = W A W intermediate over constraints.
+    # Unchunked, T is [nb, n, m, m]; at tru9 scale (n=3240, m=152) the
+    # f64-emulation splits (X64SplitHigh/Low f32 pairs + bf16 dot passes)
+    # materialize ~8 stacked copies of it and the compile OOMs HBM
+    # (measured: 24.5G needed vs 15.75G on v5e). Chunked, the per-chunk
+    # footprint is ~J*m^2 while every GEMM stays MXU-sized; the final
+    # contraction is a [J, m^2] x [m^2, n] GEMM per chunk.
+    if nb * n * m * m > (1 << 24):
+        return _schur_dense_chunked(group, W)
     T = jnp.einsum("bpa,bjaq->bjpq", W, group.A)
     T = jnp.einsum("bjpq,bqr->bjpr", T, W)
     return jnp.einsum("bjpq,bkpq->jk", group.A, T)
+
+
+def _schur_dense_chunked(group: BlockGroup, W: jax.Array) -> jax.Array:
+    """Dense Schur contribution with the constraint axis processed in
+    chunks (lax.map): H rows [J, n] per chunk from T_chunk = W A_chunk W
+    flattened against the full data stack. Cost identical to the fused
+    path (n m^3 + n^2 m^2 MACs); peak temp memory drops from O(n m^2) to
+    O(J m^2). Replaces the reference's unchunked per-block loops
+    (`src/makeBBBB.jl:86-98`) at sizes where even one [n, m, m] f64
+    temporary exceeds HBM through the emulation splits."""
+    nb, n, m, _ = group.A.shape
+    # ~2^22 elements per chunk (f64): ~32 MB pre-split, ~128-256 MB through
+    # the emulation copies — comfortably inside v5e HBM headroom
+    J = int(min(n, max(8, (1 << 22) // max(1, nb * m * m))))
+    nch = -(-n // J)
+    npad = nch * J
+    Ap = jnp.pad(group.A, ((0, 0), (0, npad - n), (0, 0), (0, 0)))
+    Achunks = jnp.moveaxis(
+        Ap.reshape(nb, nch, J, m, m), 1, 0
+    )  # [nch, nb, J, m, m]
+    Aflat = jnp.moveaxis(group.A, 1, 0).reshape(n, -1)  # [n, nb*m*m]
+
+    def body(Ac):  # [nb, J, m, m]
+        T = jnp.einsum("bpa,bjaq->bjpq", W, Ac)
+        T = jnp.einsum("bjpq,bqr->bjpr", T, W)
+        Tflat = jnp.moveaxis(T, 1, 0).reshape(J, -1)  # [J, nb*m*m]
+        return Tflat @ Aflat.T  # [J, n] rows of H
+
+    Hrows = jax.lax.map(body, Achunks)  # [nch, J, n]
+    return Hrows.reshape(npad, n)[:n]
 
 
 def _schur_sparse(group: BlockGroup, W: jax.Array) -> jax.Array:
@@ -168,6 +210,95 @@ def _schur_sparse(group: BlockGroup, W: jax.Array) -> jax.Array:
 
     Hrows = jax.lax.map(body, (rows_c, cols_c, vals_c))  # [nch, J, n]
     return Hrows.reshape(npad, n)[:n]
+
+
+def schur_group_mixed(group: BlockGroup, W: jax.Array, G: jax.Array) -> jax.Array:
+    """f32-MXU Schur contribution — the mixed-precision assembly phase
+    (assembly_precision='auto', used while total DIMACS > 1e-3 and swapped
+    for the exact f64 path afterwards; `ipm/step.py` / `ipm/solver.py`).
+
+    Rationale (measured on 1x v5e, round 4): emulated-f64 GEMMs at Schur
+    shapes run ~1.4 TF/s while f32 MXU GEMMs run ~14 TF/s; the assembled
+    H's relative error is ~1e-6 (f32 accumulate class) — below the
+    backward-error level the IPM already tolerates mid-run from its CG
+    tolerance schedule (tol_cg 1e-2 -> 1e-7). Reference cost profile this
+    attacks: `src/makeBBBB.jl:24-36`.
+
+    Per storage:
+      rank-1:  both big GEMMs in f32; the elementwise square and sign
+               contraction in f64 from the f32 product.
+      sparse:  exact f64 gather/outer-product T2 stage (cheap), then ONE
+               f32 GEMM against the flattened data copy (A_flat32) instead
+               of the f64 gather pipeline — 437 -> ~35 ms at tru9 scale.
+               Falls back to the exact path when A_flat32 was too big to
+               build.
+      dense:   the chunked contraction with f32 operands.
+    """
+    f32, f64 = jnp.float32, W.dtype
+    if group.is_rank1:
+        BG = jnp.einsum(
+            "bjm,bmp->bjp", group.B.astype(f32), G.astype(f32)
+        )
+        P = jnp.einsum("bjp,bkp->bjk", BG, BG).astype(f64)
+        return jnp.einsum("bj,bk,bjk,bjk->jk", group.Bsgn, group.Bsgn, P, P)
+    if group.is_sparse:
+        if group.A_flat32 is None:
+            return _schur_sparse(group, W)
+        return _schur_sparse_mixed(group, W)
+    nb, n, m, _ = group.A.shape
+    W32 = W.astype(f32)
+    J = int(min(n, max(8, (1 << 22) // max(1, nb * m * m))))
+    nch = -(-n // J)
+    npad = nch * J
+    Ap = jnp.pad(group.A, ((0, 0), (0, npad - n), (0, 0), (0, 0))).astype(f32)
+    Achunks = jnp.moveaxis(Ap.reshape(nb, nch, J, m, m), 1, 0)
+    Aflat = jnp.moveaxis(group.A, 1, 0).reshape(n, -1).astype(f32)
+
+    def body(Ac):
+        T = jnp.einsum("bpa,bjaq->bjpq", W32, Ac)
+        T = jnp.einsum("bjpq,bqr->bjpr", T, W32)
+        Tflat = jnp.moveaxis(T, 1, 0).reshape(J, -1)
+        return (Tflat @ Aflat.T).astype(f64)
+
+    Hrows = jax.lax.map(body, Achunks)
+    return Hrows.reshape(npad, n)[:n]
+
+
+def _schur_sparse_mixed(group: BlockGroup, W: jax.Array) -> jax.Array:
+    """Sparse-data mixed assembly: T2 rows from exact f64 gathers/outer
+    products (the cheap stage), H rows from one f32 MXU GEMM per chunk
+    against A_flat32 (replacing the measured-dominant f64 gather stage)."""
+    nb, n, s = group.Avals.shape
+    m = group.m
+    J = int(min(n, max(8, (1 << 25) // max(1, nb * n * s))))
+    nch = -(-n // J)
+    npad = nch * J
+
+    def pad_r(x):
+        return jnp.pad(x, ((0, 0), (0, npad - n), (0, 0)))
+
+    rows_c = pad_r(group.Arows).reshape(nb, nch, J, s).transpose(1, 0, 2, 3)
+    cols_c = pad_r(group.Acols).reshape(nb, nch, J, s).transpose(1, 0, 2, 3)
+    vals_c = pad_r(group.Avals).reshape(nb, nch, J, s).transpose(1, 0, 2, 3)
+    Af32 = group.A_flat32  # [nb, n, m*m]
+
+    def body(chunk):
+        r_c, c_c, v_c = chunk  # each [nb, J, s]
+        Wa = jax.vmap(lambda Wb, idx: Wb[idx])(W, r_c)  # [nb, J, s, m]
+        Wc = jax.vmap(lambda Wb, idx: Wb[idx])(W, c_c)
+        T2 = jnp.einsum("bjtp,bjt,bjtq->bjpq", Wa, v_c, Wc)
+        T32 = T2.reshape(nb, J, m * m).astype(jnp.float32)
+        return jnp.einsum("bjk,bnk->jn", T32, Af32).astype(W.dtype)
+
+    Hrows = jax.lax.map(body, (rows_c, cols_c, vals_c))  # [nch, J, n]
+    return Hrows.reshape(npad, n)[:n]
+
+
+def schur_lp_mixed(C_lin: jax.Array, w: jax.Array) -> jax.Array:
+    """LP-cone Schur block with the big GEMM in f32 (the weighting stays
+    f64 so the X/S scaling magnitudes are carried exactly)."""
+    Cw = (C_lin * w[None, :]).astype(jnp.float32)
+    return (Cw @ C_lin.T.astype(jnp.float32)).astype(C_lin.dtype)
 
 
 def Aop_dd(group: BlockGroup, M: jax.Array, Mlo=None) -> DD:

@@ -87,6 +87,11 @@ def shard_problem(problem: SDPProblem, mesh: Mesh) -> SDPProblem:
                 Arows=None if g.Arows is None else _put(g.Arows, mesh, P(baxname, saxname, None)),
                 Acols=None if g.Acols is None else _put(g.Acols, mesh, P(baxname, saxname, None)),
                 Avals=None if g.Avals is None else _put(g.Avals, mesh, P(baxname, saxname, None)),
+                # mixed-assembly f32 copy shards like the COO (row axis on
+                # schur): its GEMM consumers contract shard-local H rows
+                A_flat32=None if g.A_flat32 is None else _put(
+                    g.A_flat32, mesh, P(baxname, saxname, None)
+                ),
                 m=g.m,
                 nb=g.nb,
                 orig_sizes=g.orig_sizes,

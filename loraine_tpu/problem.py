@@ -53,7 +53,8 @@ RANK1_TOL = 5.0e-6
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["C", "A", "B", "Bsgn", "Arows", "Acols", "Avals", "AT"],
+    data_fields=["C", "A", "B", "Bsgn", "Arows", "Acols", "Avals", "AT",
+                 "A_flat32"],
     meta_fields=["m", "nb", "orig_sizes", "orig_indices", "data_norms", "C_norms"],
 )
 @dataclasses.dataclass
@@ -97,6 +98,14 @@ class BlockGroup:
     # solve — measured 10x per-iteration blow-up at n=2048). Built only when
     # the dense stack is moderate (<= ~1 GB); None otherwise.
     AT: Optional[jax.Array] = None
+    # f32 flattened dense data [nb, n, m*m] for SPARSE-stored groups: the
+    # mixed-precision Schur assembly (assembly_precision, ipm/step.py)
+    # contracts T2 rows against it as one f32 MXU GEMM instead of the
+    # f64 gather pipeline — measured 437 ms -> ~35 ms per assembly at tru9
+    # scale (n=3240, m=152, s=16) on 1x v5e. Built only when it fits
+    # (<= ~1.5 GB); None otherwise (mixed assembly then keeps the gather
+    # path in f64).
+    A_flat32: Optional[jax.Array] = None
 
     @property
     def is_rank1(self) -> bool:
@@ -456,6 +465,21 @@ def _build_problem(
                 ATnp = np.ascontiguousarray(
                     Anp.reshape(Anp.shape[0], Anp.shape[1], -1).transpose(0, 2, 1)
                 )
+        Aflat32np = None
+        if (
+            mode == "sparse"
+            and dtype == jnp.float64
+            and len(idxs) * n * m_pad * m_pad * 4 <= int(1.5 * (1 << 30))
+        ):
+            # f32 flattened dense copy for the mixed-precision assembly
+            # (see BlockGroup.A_flat32): scatter the expanded COO
+            Aflat32np = np.zeros((len(idxs), n, m_pad * m_pad), dtype=np.float32)
+            for bpos, ((jf, rf, cf, vf), _counts) in enumerate(coo_blocks):
+                np.add.at(
+                    Aflat32np,
+                    (bpos, jf, rf.astype(np.int64) * m_pad + cf),
+                    vf.astype(np.float32),
+                )
         groups.append(
             BlockGroup(
                 C=jnp.asarray(Cnp, dtype=dtype),
@@ -466,6 +490,9 @@ def _build_problem(
                 Arows=jnp.asarray(Arows) if mode == "sparse" else None,
                 Acols=jnp.asarray(Acols) if mode == "sparse" else None,
                 Avals=jnp.asarray(Avals, dtype=dtype) if mode == "sparse" else None,
+                A_flat32=(
+                    jnp.asarray(Aflat32np) if Aflat32np is not None else None
+                ),
                 m=m_pad,
                 nb=len(idxs),
                 orig_sizes=tuple(sizes),

@@ -113,6 +113,60 @@ def profile_phases(
             return x
 
         out["4x triangular solves (GEMV)"] = _timed(solve4, Li, h, repeats=repeats)
+    else:
+        # kit=1 phases: materialized Schur operator + H_alpha prep + the
+        # fused CG solve, exactly as the step's small-n route dispatches
+        # them (`ipm/step.py` mat_cg branch)
+        from ..ops.precond import prep_alpha
+        from ..ops.schur import lp_weight as _lpw
+
+        mat_cg = opts.cg_materialize == "always" or (
+            opts.cg_materialize == "auto" and problem.n <= 512
+        )
+        lpw = (
+            _lpw(st.X_lin, 1.0 / st.S_lin) if problem.nlin else None
+        )
+
+        def hcg(nts):
+            H = jnp.zeros((problem.n, problem.n), dtype=problem.b.dtype)
+            for g, nt in zip(problem.groups, nts):
+                H = H + schur_group(g, nt.W, nt.G)
+            if problem.nlin:
+                H = H + schur_lp(problem.C_lin, lpw)
+            return sym(H)
+
+        if mat_cg:
+            out["Schur materialize (CG operator)"] = _timed(
+                hcg, nts, repeats=repeats
+            )
+            Hcg = jax.jit(hcg)(nts)
+        if opts.preconditioner in (1, 4):
+            def palpha(nts):
+                pa = prep_alpha(
+                    problem, nts, lpw, opts.erank, opts.aamat,
+                    opts.eigh_backend, materialize=mat_cg,
+                )
+                return pa.Mli if mat_cg else pa.diag_scalar
+
+            out["precond prep (H_alpha)"] = _timed(palpha, nts, repeats=repeats)
+        if mat_cg:
+            from ..ops.precond import prep_alpha as _pa
+
+            pa = jax.jit(
+                lambda nts: _pa(problem, nts, lpw, opts.erank, opts.aamat,
+                                opts.eigh_backend, materialize=True)
+            )(nts)
+            Mli = pa.Mli
+            if opts.cg_kernel in ("ff", "auto") and jax.default_backend() == "tpu":
+                from ..ops.pcg_pallas import pcg_pallas_ff
+
+                def cgsolve(Hcg, Mli, rhs):
+                    x, it = pcg_pallas_ff(Hcg, Mli, rhs, 1e-7, opts.cg_maxiter)
+                    return x
+
+                out["CG solve (ff kernel, tol 1e-7)"] = _timed(
+                    cgsolve, Hcg, Mli, h, repeats=repeats
+                )
 
     # steplength phase: the scaled-direction spectral computation, exactly as
     # the step's eigmin/eigrange path would see it (find_step_A..D)

@@ -91,3 +91,112 @@ def test_schur_lp_oracle():
     H = schur_lp(C_lin, w)
     oracle = np.asarray(C_lin) @ np.diag(np.asarray(w)) @ np.asarray(C_lin).T
     np.testing.assert_allclose(np.asarray(H), oracle, rtol=1e-12)
+
+
+def test_dense_chunked_assembly_matches_fused():
+    """_schur_dense_chunked (the bounded-memory dense path for large
+    constraint counts; used when nb*n*m^2 exceeds the HBM-safe threshold)
+    produces the same H as the fused three-einsum path."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    import loraine_tpu as lt
+    from loraine_tpu.ops.schur import _schur_dense_chunked
+
+    rng = np.random.default_rng(0)
+    nb, n, m = 2, 50, 12
+    A = rng.standard_normal((nb, n, m, m))
+    A = A + A.transpose(0, 1, 3, 2)
+    p = lt.problem_from_dense(
+        list(A), [np.eye(m) * m] * nb, np.zeros(n), storage="dense",
+        pad_multiple=1,
+    )
+    g = p.groups[0]
+    W = rng.standard_normal((g.nb, g.m, g.m))
+    W = jnp.asarray(W @ W.transpose(0, 2, 1) + g.m * np.eye(g.m))
+    T = jnp.einsum("bpa,bjaq->bjpq", W, g.A)
+    T = jnp.einsum("bjpq,bqr->bjpr", T, W)
+    H_ref = jnp.einsum("bjpq,bkpq->jk", g.A, T)
+    H_chunk = _schur_dense_chunked(g, W)
+    np.testing.assert_allclose(
+        np.asarray(H_chunk), np.asarray(H_ref),
+        rtol=1e-9, atol=1e-9 * float(jnp.abs(H_ref).max()),
+    )
+
+
+def test_mixed_assembly_matches_f64():
+    """schur_group_mixed (f32-MXU fast assembly) tracks the exact H to
+    f32-accumulate class (~1e-5 relative) on all three storages, and
+    schur_lp_mixed on the LP block."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    import loraine_tpu as lt
+    from loraine_tpu.ops.schur import (
+        schur_group, schur_group_mixed, schur_lp, schur_lp_mixed,
+    )
+
+    rng = np.random.default_rng(2)
+
+    def relerr(Hm, H):
+        H, Hm = np.asarray(H), np.asarray(Hm)
+        return np.abs(Hm - H).max() / np.abs(H).max()
+
+    # dense
+    nb, n, m = 2, 40, 12
+    A = rng.standard_normal((nb, n, m, m)); A = A + A.transpose(0, 1, 3, 2)
+    p = lt.problem_from_dense(list(A), [np.eye(m) * m] * nb, np.zeros(n),
+                              storage="dense", pad_multiple=1)
+    g = p.groups[0]
+    W = rng.standard_normal((g.nb, g.m, g.m))
+    W = jnp.asarray(W @ W.transpose(0, 2, 1) + g.m * np.eye(g.m))
+    G = jnp.linalg.cholesky(W)
+    assert relerr(schur_group_mixed(g, W, G), schur_group(g, W, G)) < 1e-5
+
+    # sparse (with the A_flat32 GEMM route)
+    As = np.zeros((n, m, m))
+    for j in range(n):
+        r, c = rng.integers(0, m, 2)
+        v = rng.standard_normal(); As[j, r, c] += v
+        if r != c: As[j, c, r] += v
+        As[j, j % m, j % m] += 1.0
+    ps = lt.problem_from_dense([As], [np.eye(m) * m], np.zeros(n),
+                               storage="sparse", pad_multiple=1)
+    gs = ps.groups[0]
+    assert gs.A_flat32 is not None
+    Ws = W[:1]
+    assert relerr(schur_group_mixed(gs, Ws, G[:1]), schur_group(gs, Ws, G[:1])) < 1e-5
+
+    # rank-1
+    V = rng.standard_normal((n, m))
+    Ar = np.einsum("jp,jq->jpq", V, V)
+    pr = lt.problem_from_dense([Ar], [np.eye(m) * m], np.zeros(n),
+                               datarank=-1, pad_multiple=1)
+    gr = pr.groups[0]
+    assert gr.is_rank1
+    assert relerr(schur_group_mixed(gr, Ws, G[:1]), schur_group(gr, Ws, G[:1])) < 1e-4
+
+    # LP block
+    C_lin = rng.standard_normal((n, 17))
+    w = np.abs(rng.standard_normal(17)) + 0.1
+    assert relerr(schur_lp_mixed(jnp.asarray(C_lin), jnp.asarray(w)),
+                  schur_lp(jnp.asarray(C_lin), jnp.asarray(w))) < 1e-5
+
+
+def test_mixed_assembly_e2e_and_validation():
+    import pytest as _pytest
+
+    import loraine_tpu as lt
+
+    r64 = lt.solve_sdpa("tests/data/theta1.dat-s",
+                        {"kit": 0, "eDIMACS": 1e-6, "initpoint": 1, "verb": 0})
+    r32 = lt.solve_sdpa("tests/data/theta1.dat-s",
+                        {"kit": 0, "eDIMACS": 1e-6, "initpoint": 1, "verb": 0,
+                         "assembly_precision": "f32"})
+    assert r32.status == 1
+    assert abs(r32.objective - r64.objective) < 1e-6
+    assert abs(r32.iterations - r64.iterations) <= 2
+    with _pytest.raises(ValueError):
+        lt.Options(assembly_precision="f32", precision="dd").validated()
+    with _pytest.raises(ValueError):
+        lt.Options(assembly_precision="bogus").validated()
