@@ -286,7 +286,10 @@ def main():
         print(json.dumps(results[-1]), flush=True)
     results += schur_axis_cg([s for s in (1, 2, 4, 8) if s <= ndev])
     results += schur_axis_direct([s for s in (1, 2, 4, 8) if s <= ndev])
-    results += maxg_direct([s for s in (1, 8) if s <= ndev])
+    # the n=4096 maxG-class case costs ~6 min/step on a shared-core virtual
+    # CPU mesh (it is sized for real chips); opt in via env
+    if os.environ.get("LORAINE_SCALING_MAXG", "0") != "0":
+        results += maxg_direct([s for s in (1, 8) if s <= ndev])
     return results
 
 

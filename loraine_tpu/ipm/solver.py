@@ -237,7 +237,15 @@ class Solver:
         elif o.assembly_precision == "f32":
             mixed = True
         elif o.assembly_precision == "auto":
-            mixed = jax.default_backend() == "tpu" and p.n >= 512
+            # engage only where the f32 path differs and wins: sparse/dense
+            # Schur GEMMs or an LP block (rank-1 groups stay exact f64 —
+            # see ops/schur.py schur_group_mixed)
+            has_mixed_path = p.nlin > 0 or any(
+                not g.is_rank1 for g in p.groups
+            )
+            mixed = (
+                jax.default_backend() == "tpu" and p.n >= 512 and has_mixed_path
+            )
         else:
             mixed = False
         with self.timer.phase("build/compile step"):

@@ -361,8 +361,13 @@ def build_step(opts: Options, precond_kind: int, mesh=None,
     # congruent spectrum (~mu) survives below the f64 formation noise.
     # Reference equivalent: `prepare_W` at T = Float64x4
     # (`src/prepare_W.jl:41-45`, `src/Solvers.jl:18`).
-    nt_dd = dd2 if opts.nt_precision == "auto" else opts.nt_precision == "dd"
-    nt_dd = nt_dd and dd2
+    # 'auto' resolves to dd ONLY on TPU: XLA:CPU's compile of the dd
+    # Jacobi graph explodes in memory (measured 62 GB RSS then OOM-kill
+    # at m >= 16, 2026-08) — on CPU, dd NT stays an explicit opt-in.
+    if opts.nt_precision == "auto":
+        nt_dd = dd2 and jax.default_backend() == "tpu"
+    else:
+        nt_dd = dd2 and opts.nt_precision == "dd"
 
     def _step_mode() -> str:
         mode = opts.step_eig

@@ -58,8 +58,18 @@ def jacobi_sweeps_for(m: int) -> int:
     """Default sweep count reaching f32 seed quality (off-diagonal ~1e-7
     relative) from a cold start. Convergence is linear-ish for the first
     ~log2(m) sweeps and quadratic after; f32 target saves ~1 sweep vs the
-    f64 count used by the XLA-level Jacobi (`eigh.py:_default_sweeps`)."""
-    return int(np.clip(np.ceil(np.log2(max(m, 4))) + 5, 8, 15))
+    f64 count used by the XLA-level Jacobi (`eigh.py:_default_sweeps`).
+
+    Round-4, large m only: one fewer sweep and a 13-sweep cap — the
+    kernels were measured at ~30% of the maxG11 step, and the trimmed
+    counts kept iteration counts identical on maxG11/thetaG11 (m ~ 800).
+    Small m keeps the round-3 schedule: control1 (m=16, a marginal
+    CG-path case) NaN'd under the trimmed seed — at tiny m the sweeps
+    are cheap anyway."""
+    base = np.ceil(np.log2(max(m, 4)))
+    if m >= 256:
+        return int(np.clip(base + 4, 8, 13))
+    return int(np.clip(base + 5, 8, 15))
 
 
 def bound_sweeps_for(m: int) -> int:
@@ -69,8 +79,13 @@ def bound_sweeps_for(m: int) -> int:
     the off-diagonal mass is small enough that the bound slack perturbs a
     tau=0.95 steplength by well under 1%, while the sequential-rotation
     cost (the dominant term of the steplength phase at large m) is roughly
-    halved vs `jacobi_sweeps_for`."""
-    return int(np.clip(np.ceil(np.log2(max(m, 4))) + 2, 5, 8))
+    halved vs `jacobi_sweeps_for`. Round-4 trim for LARGE m only (+1,
+    cap 6; validated on maxG11/thetaG11 with identical iteration counts);
+    small m keeps the round-3 schedule (see jacobi_sweeps_for)."""
+    base = np.ceil(np.log2(max(m, 4)))
+    if m >= 256:
+        return int(np.clip(base + 1, 4, 6))
+    return int(np.clip(base + 2, 5, 8))
 
 
 def _batch_block(mp: int) -> int:

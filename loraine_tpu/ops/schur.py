@@ -225,8 +225,11 @@ def schur_group_mixed(group: BlockGroup, W: jax.Array, G: jax.Array) -> jax.Arra
     attacks: `src/makeBBBB.jl:24-36`.
 
     Per storage:
-      rank-1:  both big GEMMs in f32; the elementwise square and sign
-               contraction in f64 from the f32 product.
+      rank-1:  stays EXACT f64 — measured (maxG11, round 4): assembly is
+               only ~6% of the rank-1 step (NT scaling and the DIMACS
+               errors dominate), while the f32 H((b'Wb)^2 squares the
+               f32 error) stalled convergence above the handover
+               threshold. No win, real risk — excluded.
       sparse:  exact f64 gather/outer-product T2 stage (cheap), then ONE
                f32 GEMM against the flattened data copy (A_flat32) instead
                of the f64 gather pipeline — 437 -> ~35 ms at tru9 scale.
@@ -236,11 +239,7 @@ def schur_group_mixed(group: BlockGroup, W: jax.Array, G: jax.Array) -> jax.Arra
     """
     f32, f64 = jnp.float32, W.dtype
     if group.is_rank1:
-        BG = jnp.einsum(
-            "bjm,bmp->bjp", group.B.astype(f32), G.astype(f32)
-        )
-        P = jnp.einsum("bjp,bkp->bjk", BG, BG).astype(f64)
-        return jnp.einsum("bj,bk,bjk,bjk->jk", group.Bsgn, group.Bsgn, P, P)
+        return schur_group(group, W, G)
     if group.is_sparse:
         if group.A_flat32 is None:
             return _schur_sparse(group, W)
