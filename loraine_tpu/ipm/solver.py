@@ -239,15 +239,30 @@ class Solver:
         elif o.assembly_precision == "auto":
             # engage only where the f32 path differs and wins: sparse/dense
             # Schur GEMMs or an LP block (rank-1 groups stay exact f64 —
-            # see ops/schur.py schur_group_mixed)
+            # see ops/schur.py schur_group_mixed). kit=1 assembles H only
+            # when the CG operator is materialized (step.py mat_cg: n<=512)
+            # — a non-materialized kit=1 solve would pay the mid-solve
+            # handover rebuild/recompile for an f32 path that never runs.
             has_mixed_path = p.nlin > 0 or any(
                 not g.is_rank1 for g in p.groups
             )
+            assembles_h = o.kit == 0 or (
+                o.cg_materialize == "always"
+                or (o.cg_materialize == "auto" and p.n <= 512)
+            )
             mixed = (
-                jax.default_backend() == "tpu" and p.n >= 512 and has_mixed_path
+                jax.default_backend() == "tpu" and p.n >= 512
+                and has_mixed_path and assembles_h
             )
         else:
             mixed = False
+        if mixed:
+            # attach the f32 flattened copy for sparse groups lazily — it
+            # can cost ~1.5 GB host+HBM, so only solves that actually run
+            # the mixed path build it (problem.py ensure_a_flat32)
+            from ..problem import ensure_a_flat32
+
+            p = ensure_a_flat32(p, mesh)
         with self.timer.phase("build/compile step"):
             chunk = jitted_chunk(o, precond_kind, K, mesh=mesh,
                                  mixed_assembly=mixed)
@@ -331,6 +346,17 @@ class Solver:
                 mixed = False
                 if o.verb > 0:
                     print("Switching to exact f64 Schur assembly")
+                # drop the f32 copy: frees its HBM and restores the
+                # canonical problem pytree (A_flat32=None), so the exact
+                # chunk shares the compile-cache entry of pure-f64 solves
+                if any(g.A_flat32 is not None for g in p.groups):
+                    import dataclasses as _dc
+
+                    p = _dc.replace(p, groups=tuple(
+                        _dc.replace(g, A_flat32=None)
+                        if g.A_flat32 is not None else g
+                        for g in p.groups
+                    ))
                 with self.timer.phase("build/compile step"):
                     chunk = jitted_chunk(o, precond_kind, K, mesh=mesh,
                                          mixed_assembly=mixed)

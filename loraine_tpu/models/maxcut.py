@@ -39,7 +39,10 @@ def maxcut_problem(weights: np.ndarray, datarank: int = 0, pad_multiple: int = 8
     row = np.concatenate([np.arange(N), rows0, np.arange(N)])
     col = np.concatenate([np.arange(N), cols0, np.arange(N)])
     val = np.concatenate([
-        0.25 * deg,            # F_0 diagonal: L/4 = diag(deg)/4 - W/4
+        # F_0 diagonal of L/4 with L = diag(W @ 1) - W: the subtraction
+        # keeps any nonzero W diagonal from shifting the objective by
+        # 0.25*trace(W) (the W[i,i] term appears in deg AND in -W).
+        0.25 * (deg - np.diag(W)),
         -0.25 * W[rows0, cols0],
         -np.ones(N),
     ])

@@ -44,6 +44,7 @@ __all__ = [
     "problem_from_dense",
     "problem_from_sdpa",
     "problem_from_dict",
+    "ensure_a_flat32",
     "RANK1_TOL",
 ]
 
@@ -465,21 +466,11 @@ def _build_problem(
                 ATnp = np.ascontiguousarray(
                     Anp.reshape(Anp.shape[0], Anp.shape[1], -1).transpose(0, 2, 1)
                 )
-        Aflat32np = None
-        if (
-            mode == "sparse"
-            and dtype == jnp.float64
-            and len(idxs) * n * m_pad * m_pad * 4 <= int(1.5 * (1 << 30))
-        ):
-            # f32 flattened dense copy for the mixed-precision assembly
-            # (see BlockGroup.A_flat32): scatter the expanded COO
-            Aflat32np = np.zeros((len(idxs), n, m_pad * m_pad), dtype=np.float32)
-            for bpos, ((jf, rf, cf, vf), _counts) in enumerate(coo_blocks):
-                np.add.at(
-                    Aflat32np,
-                    (bpos, jf, rf.astype(np.int64) * m_pad + cf),
-                    vf.astype(np.float32),
-                )
+        # A_flat32 (the mixed-assembly f32 copy, up to ~1.5 GB) is NOT
+        # built here: the solver attaches it lazily via ensure_a_flat32()
+        # only when mixed assembly actually engages (TPU, n>=512, f64,
+        # assembly_precision auto/f32) — eager builds wasted host+HBM
+        # memory on every sparse f64 load that never ran the mixed path.
         groups.append(
             BlockGroup(
                 C=jnp.asarray(Cnp, dtype=dtype),
@@ -490,9 +481,7 @@ def _build_problem(
                 Arows=jnp.asarray(Arows) if mode == "sparse" else None,
                 Acols=jnp.asarray(Acols) if mode == "sparse" else None,
                 Avals=jnp.asarray(Avals, dtype=dtype) if mode == "sparse" else None,
-                A_flat32=(
-                    jnp.asarray(Aflat32np) if Aflat32np is not None else None
-                ),
+                A_flat32=None,
                 m=m_pad,
                 nb=len(idxs),
                 orig_sizes=tuple(sizes),
@@ -514,6 +503,59 @@ def _build_problem(
         b_const=float(b_const),
         sum_msizes=sum(g.m * g.nb for g in groups),
     )
+
+
+def ensure_a_flat32(
+    problem: SDPProblem, mesh=None,
+    max_bytes: int = int(1.5 * (1 << 30)),
+) -> SDPProblem:
+    """Attach the mixed-assembly f32 flattened copy (BlockGroup.A_flat32)
+    to every sparse-stored f64 group where it fits (<= ``max_bytes``).
+
+    Called by the solver ONLY when mixed assembly engages
+    (assembly_precision auto/f32 on TPU) — the copy can reach ~1.5 GB of
+    host+HBM memory, so it is never built on loads that keep the exact
+    f64 gather path. The scatter reproduces the padded symmetric COO
+    (zero-valued pad slots scatter zeros), so the f32 GEMM contraction in
+    ops/schur.py _schur_sparse_mixed matches the f64 gather contraction.
+
+    ``mesh``: place the copy like shard_problem does for the COO arrays
+    (rows on the schur axis) so the sharded step's consumers stay
+    shard-local.
+    """
+    groups = []
+    changed = False
+    for g in problem.groups:
+        if (
+            g.is_sparse
+            and g.A_flat32 is None
+            and g.Avals.dtype == jnp.float64
+            and g.nb * problem.n * g.m * g.m * 4 <= max_bytes
+        ):
+            rows = np.asarray(g.Arows, dtype=np.int64)
+            cols = np.asarray(g.Acols, dtype=np.int64)
+            vals = np.asarray(g.Avals, dtype=np.float32)
+            nb, n, _ = rows.shape
+            flat = np.zeros((nb, n, g.m * g.m), dtype=np.float32)
+            b_idx = np.arange(nb)[:, None, None]
+            j_idx = np.arange(n)[None, :, None]
+            np.add.at(flat, (b_idx, j_idx, rows * g.m + cols), vals)
+            arr = jnp.asarray(flat)
+            if mesh is not None:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+
+                baxname = "blocks" if g.nb % mesh.shape["blocks"] == 0 else None
+                saxname = "schur" if problem.n % mesh.shape["schur"] == 0 else None
+                arr = jax.device_put(
+                    arr, NamedSharding(mesh, P(baxname, saxname, None))
+                )
+            g = dataclasses.replace(g, A_flat32=arr)
+            changed = True
+        groups.append(g)
+    if not changed:
+        return problem
+    return dataclasses.replace(problem, groups=tuple(groups))
 
 
 def problem_from_dense(

@@ -26,6 +26,21 @@ def test_maxcut_partition():
     np.testing.assert_allclose(val, 17.0, rtol=1e-5)
 
 
+def test_maxcut_nonzero_diagonal():
+    # Self-loops carry no cut weight: L = diag(W @ 1) - W subtracts W[i,i]
+    # back out of the degree term, so adding a diagonal must not shift the
+    # relaxation value (regression: the COO build once used 0.25*deg for the
+    # F_0 diagonal, silently adding 0.25*trace(W)).
+    W = np.array(
+        [[0, 1, 5, 0], [1, 0, 0, 9], [5, 0, 0, 2], [0, 9, 2, 0]], dtype=float
+    )
+    Wd = W + np.diag([0.5, 0.25, 1.0, 0.75])
+    _, _, val = solve_maxcut(W)
+    _, _, val_d = solve_maxcut(Wd)
+    np.testing.assert_allclose(val, 17.0, rtol=1e-5)
+    np.testing.assert_allclose(val_d, val, rtol=1e-5)
+
+
 def test_maxcut_rank1_path_matches():
     W = np.array(
         [[0, 1, 5, 0], [1, 0, 0, 9], [5, 0, 0, 2], [0, 9, 2, 0]], dtype=float

@@ -162,6 +162,9 @@ def test_mixed_assembly_matches_f64():
         As[j, j % m, j % m] += 1.0
     ps = lt.problem_from_dense([As], [np.eye(m) * m], np.zeros(n),
                                storage="sparse", pad_multiple=1)
+    assert ps.groups[0].A_flat32 is None  # lazy: attached only when mixed engages
+    from loraine_tpu.problem import ensure_a_flat32
+    ps = ensure_a_flat32(ps)
     gs = ps.groups[0]
     assert gs.A_flat32 is not None
     Ws = W[:1]
