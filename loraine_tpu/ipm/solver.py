@@ -112,16 +112,11 @@ class Solver:
         """kit/datarank auto-downgrades (`src/Solvers.jl:421-444`)."""
         o = self.opts
         p = self.problem
-        if o.precision == "dd2":
-            # dd2's dd-exact adjoint (Aadj_dd) is implemented for dense
-            # storage (the LP cone and kit=1 are covered: dd lin-cone
-            # updates + dd2 CG refinement, `src/predictor_corrector.jl:
-            # 329-364`, `:131-134` at T = Float64x4)
-            if any(g.A is None for g in p.groups):
-                raise ValueError(
-                    "precision='dd2' requires dense-stored data "
-                    "(build the problem with storage='dense', datarank=0)"
-                )
+        # precision='dd2' covers every storage: dense (Ozaki matvec),
+        # rank-1 (TwoProd factor + Ozaki GEMM), sparse (per-cell layout
+        # attached lazily in solve() via ensure_dd_aadj), the LP cone and
+        # kit=1 (dd lin-cone updates + dd2 CG refinement,
+        # `src/predictor_corrector.jl:329-364`, `:131-134` at Float64x4).
         if o.kit == 1:
             if p.nlmi == 0:
                 warnings.warn("Switching to a direct solver, no LMIs")
@@ -228,6 +223,15 @@ class Solver:
         # builder so the CG vectors are anchored to the schur axis (the
         # distributed Schur solve — see build_step)
         mesh = _detect_mesh(p)
+        if o.precision == "dd2" and any(
+            g.is_sparse and g.Acell is None for g in p.groups
+        ):
+            # sparse dd2: attach the per-cell adjoint layout the dd-exact
+            # Aadj needs (problem.py ensure_dd_aadj; lazy — only dd2
+            # solves pay for it)
+            from ..problem import ensure_dd_aadj
+
+            p = ensure_dd_aadj(p, mesh)
         # mixed f32 Schur assembly phase (assembly_precision; the chunk
         # signals mixed_off when DIMACS crosses the handover threshold and
         # the loop rebuilds with the exact f64 assembly — same mechanics

@@ -82,14 +82,47 @@ def Aadj(group: BlockGroup, y: jax.Array) -> jax.Array:
 
 def Aadj_dd(group: BlockGroup, y: DD) -> DD:
     """Aadj at double-double accuracy: [nb, m, m] <- sum_j y_j A_j with the
-    contraction accumulated in dd (Ozaki-sliced exact matvec) and the y.lo
-    correction folded in. Needed by the dd2 tier: the f64 Aadj rounds at
-    u64 * ||sum y A|| absolute, which would pin the dual residual Rd (and
-    with it err3) at ~1e-14 — exactly the floor dd2 exists to break.
+    contraction accumulated in dd and the y.lo correction folded in. Needed
+    by the dd2 tier: the f64 Aadj rounds at u64 * ||sum y A|| absolute,
+    which would pin the dual residual Rd (and with it err3) at ~1e-14 —
+    exactly the floor dd2 exists to break. Per storage (matching the
+    reference's type-generic assembly, `src/makeBBBB.jl:39-218` over T):
 
-    Dense storage only (the dd2 mode's supported regime)."""
-    if group.A is None:
-        raise NotImplementedError("Aadj_dd requires dense-stored data")
+      dense:  Ozaki-sliced exact matvec against the flattened stack.
+      rank-1: u_j = (sgn_j y_j) b_j by TwoProd (the sign product is exact),
+              then sum_j u_j b_j^T as an Ozaki-sliced exact GEMM.
+      sparse: per-cell padded layout (BlockGroup.Acell*): TwoProd per
+              entry, exact dd tree reduction per target cell, then a
+              collision-free placement scatter (every cell index is
+              unique within its block, so no rounding accumulation).
+    """
+    if group.is_rank1:
+        w = group.Bsgn * y.hi[None, :]  # sgn in {-1, 0, 1}: exact product
+        wlo = group.Bsgn * y.lo[None, :]
+        u = two_prod(group.B, w[:, :, None])  # [nb, n, m] dd
+        P = acc_matmul(jnp.swapaxes(u.hi, 1, 2), group.B)  # [nb, m, m] dd
+        corr = jnp.swapaxes(u.lo + group.B * wlo[:, :, None], 1, 2) @ group.B
+        s = two_sum(P.hi, corr)
+        return DD(s.hi, s.lo + P.lo)
+    if group.is_sparse:
+        if group.Acell is None:
+            raise NotImplementedError(
+                "sparse Aadj_dd needs the per-cell layout — attach it with "
+                "problem.ensure_dd_aadj() (the solver does this for "
+                "precision='dd2')"
+            )
+        m = group.m
+        yh = y.hi[group.Acell_j]  # [nb, ncell, kmax]
+        p = two_prod(group.Acell_v, yh)
+        corr = group.Acell_v * y.lo[group.Acell_j]
+        s = dd_sum(DD(p.hi, p.lo + corr), axis=-1)  # [nb, ncell] dd
+
+        def place(cells, v):
+            return jnp.zeros((m * m + 1,), v.dtype).at[cells].set(v)[: m * m]
+
+        hi = jax.vmap(place)(group.Acell, s.hi).reshape(-1, m, m)
+        lo = jax.vmap(place)(group.Acell, s.lo).reshape(-1, m, m)
+        return DD(hi, lo)
     nb, n, m, _ = group.A.shape
     Af = jnp.moveaxis(group.A, 1, 0).reshape(n, -1)  # [n, b*m*m]
     r = acc_matvec(Af.T, y.hi)  # dd [b*m*m]

@@ -92,6 +92,17 @@ def shard_problem(problem: SDPProblem, mesh: Mesh) -> SDPProblem:
                 A_flat32=None if g.A_flat32 is None else _put(
                     g.A_flat32, mesh, P(baxname, saxname, None)
                 ),
+                # dd2 per-cell adjoint layout: cell axis stays local (the
+                # scatter target is per-block), so only blocks shards
+                Acell=None if g.Acell is None else _put(
+                    g.Acell, mesh, P(baxname, None)
+                ),
+                Acell_j=None if g.Acell_j is None else _put(
+                    g.Acell_j, mesh, P(baxname, None, None)
+                ),
+                Acell_v=None if g.Acell_v is None else _put(
+                    g.Acell_v, mesh, P(baxname, None, None)
+                ),
                 m=g.m,
                 nb=g.nb,
                 orig_sizes=g.orig_sizes,

@@ -45,6 +45,7 @@ __all__ = [
     "problem_from_sdpa",
     "problem_from_dict",
     "ensure_a_flat32",
+    "ensure_dd_aadj",
     "RANK1_TOL",
 ]
 
@@ -55,7 +56,7 @@ RANK1_TOL = 5.0e-6
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["C", "A", "B", "Bsgn", "Arows", "Acols", "Avals", "AT",
-                 "A_flat32"],
+                 "A_flat32", "Acell", "Acell_j", "Acell_v"],
     meta_fields=["m", "nb", "orig_sizes", "orig_indices", "data_norms", "C_norms"],
 )
 @dataclasses.dataclass
@@ -107,6 +108,18 @@ class BlockGroup:
     # (<= ~1.5 GB); None otherwise (mixed assembly then keeps the gather
     # path in f64).
     A_flat32: Optional[jax.Array] = None
+    # Per-cell padded layout of the sparse COO for the dd-exact adjoint
+    # (ops/schur.py Aadj_dd; dd2 on sparse storage). For each block, the
+    # entries are regrouped by target cell (flat index r*m + c) so the
+    # scatter becomes a collision-free placement and the per-cell sum is
+    # an exact dd tree reduction:
+    #   Acell   [nb, ncell]        int32 flat target (pad: m*m dump slot)
+    #   Acell_j [nb, ncell, kmax]  int32 constraint index (pad: 0)
+    #   Acell_v [nb, ncell, kmax]  f64 value (pad: 0.0)
+    # Attached lazily by ensure_dd_aadj() only for precision='dd2' solves.
+    Acell: Optional[jax.Array] = None
+    Acell_j: Optional[jax.Array] = None
+    Acell_v: Optional[jax.Array] = None
 
     @property
     def is_rank1(self) -> bool:
@@ -552,6 +565,82 @@ def ensure_a_flat32(
                 )
             g = dataclasses.replace(g, A_flat32=arr)
             changed = True
+        groups.append(g)
+    if not changed:
+        return problem
+    return dataclasses.replace(problem, groups=tuple(groups))
+
+
+def ensure_dd_aadj(
+    problem: SDPProblem, mesh=None, max_bytes: int = 1 << 29
+) -> SDPProblem:
+    """Attach the per-cell padded COO layout (BlockGroup.Acell/Acell_j/
+    Acell_v) that the dd-exact adjoint needs on sparse-stored groups
+    (ops/schur.py Aadj_dd). Called by the solver only for precision='dd2'
+    — the layout costs nb*ncell*kmax*(8+4)+nb*ncell*4 bytes, so plain
+    f64/dd solves never build it. Raises if the layout exceeds
+    ``max_bytes`` (pathologically cell-concentrated data); the reference's
+    equivalent is type-generic assembly over any storage
+    (`src/makeBBBB.jl:39-218` over T).
+    """
+    groups = []
+    changed = False
+    for g in problem.groups:
+        if not (g.is_sparse and g.Acell is None):
+            groups.append(g)
+            continue
+        rows = np.asarray(g.Arows)
+        cols = np.asarray(g.Acols)
+        vals = np.asarray(g.Avals, dtype=np.float64)
+        nb, n, s = rows.shape
+        m = g.m
+        per_block = []
+        ncell_max, kmax = 1, 1
+        for b in range(nb):
+            flat = rows[b].astype(np.int64) * m + cols[b].astype(np.int64)
+            f = flat.reshape(-1)
+            v = vals[b].reshape(-1)
+            jj = np.repeat(np.arange(n, dtype=np.int64), s)
+            keep = v != 0.0  # drops pad slots (and harmless exact zeros)
+            f, jj, v = f[keep], jj[keep], v[keep]
+            order = np.argsort(f, kind="stable")
+            f, jj, v = f[order], jj[order], v[order]
+            cells, starts = np.unique(f, return_index=True)
+            counts = np.diff(np.append(starts, f.size))
+            per_block.append((cells, counts, jj, v))
+            if cells.size:
+                ncell_max = max(ncell_max, int(cells.size))
+                kmax = max(kmax, int(counts.max()))
+        nbytes = nb * ncell_max * kmax * 12 + nb * ncell_max * 4
+        if nbytes > max_bytes:
+            raise ValueError(
+                f"precision='dd2' per-cell adjoint layout needs {nbytes} "
+                f"bytes (> {max_bytes}): data too cell-concentrated for "
+                "sparse dd2 — rebuild with storage='dense'"
+            )
+        Acell = np.full((nb, ncell_max), m * m, dtype=np.int32)
+        Aj = np.zeros((nb, ncell_max, kmax), dtype=np.int32)
+        Av = np.zeros((nb, ncell_max, kmax), dtype=np.float64)
+        for b, (cells, counts, jj, v) in enumerate(per_block):
+            if not cells.size:
+                continue
+            Acell[b, : cells.size] = cells
+            slot = np.concatenate([np.arange(c) for c in counts])
+            cell_pos = np.repeat(np.arange(cells.size), counts)
+            Aj[b, cell_pos, slot] = jj
+            Av[b, cell_pos, slot] = v
+        arrs = [jnp.asarray(Acell), jnp.asarray(Aj), jnp.asarray(Av)]
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            baxname = "blocks" if nb % mesh.shape["blocks"] == 0 else None
+            arrs = [
+                jax.device_put(a, NamedSharding(mesh, P(*((baxname,) + (None,) * (a.ndim - 1)))))
+                for a in arrs
+            ]
+        g = dataclasses.replace(g, Acell=arrs[0], Acell_j=arrs[1], Acell_v=arrs[2])
+        changed = True
         groups.append(g)
     if not changed:
         return problem

@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Bisection harness for the round-4 mixed-assembly TPU-worker crash
+(ROADMAP #1: the mixed chunk killed the worker on its second dispatch).
+
+Each mode is a minimal standalone repro of one suspect subpath, run twice
+(the crash signature needs dispatch #2). Run ONE mode per process:
+
+  python scripts/bisect_mixed.py sparse   # _schur_sparse_mixed alone
+  python scripts/bisect_mixed.py lp       # schur_lp_mixed alone
+  python scripts/bisect_mixed.py exact    # exact f64 paths (control)
+  python scripts/bisect_mixed.py chunk    # the full mixed chunk, 2 dispatches
+  python scripts/bisect_mixed.py solve64  # full tru9 solve, assembly f64
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _tru9():
+    import loraine_tpu as lt
+    from loraine_tpu.problem import ensure_a_flat32
+
+    p = lt.load_problem("tests/data/tru9.dat-s", {"eDIMACS": 1e-5})
+    return ensure_a_flat32(p)
+
+
+def _spd(m, nb, seed=0):
+    rng = np.random.default_rng(seed)
+    W = rng.standard_normal((nb, m, m))
+    W = W @ W.transpose(0, 2, 1) + m * np.eye(m)
+    return jnp.asarray(W)
+
+
+def run_twice(name, fn, *args):
+    f = jax.jit(fn)
+    for i in (1, 2):
+        t0 = time.time()
+        out = f(*args)
+        s = float(jnp.sum(out if isinstance(out, jax.Array) else out[0]))
+        print(f"{name} dispatch {i}: sum={s:.6e} ({time.time()-t0:.1f}s)",
+              flush=True)
+
+
+def main():
+    mode = sys.argv[1]
+    print("backend:", jax.default_backend(), flush=True)
+    if mode == "solve64":
+        import loraine_tpu as lt
+
+        t0 = time.time()
+        r = lt.solve_sdpa(
+            "tests/data/tru9.dat-s",
+            {"kit": 0, "eDIMACS": 1e-5, "initpoint": 1, "verb": 1,
+             "assembly_precision": "f64"},
+        )
+        print("solve64:", r.status_name, r.objective, r.dimacs,
+              f"{time.time()-t0:.1f}s", flush=True)
+        return
+
+    from loraine_tpu.ops.schur import (
+        _schur_sparse,
+        _schur_sparse_mixed,
+        schur_lp,
+        schur_lp_mixed,
+    )
+
+    p = _tru9()
+    g = next(gr for gr in p.groups if gr.is_sparse)
+    W = _spd(g.m, g.nb)
+    print(f"tru9 group: nb={g.nb} m={g.m} n={p.n} nlin={p.nlin}", flush=True)
+
+    if mode == "sparse":
+        run_twice("sparse_mixed", _schur_sparse_mixed, g, W)
+    elif mode == "lp":
+        w = jnp.asarray(np.abs(np.random.default_rng(1).standard_normal(p.nlin)) + 0.1)
+        run_twice("lp_mixed", schur_lp_mixed, p.C_lin, w)
+    elif mode == "exact":
+        run_twice("sparse_exact", _schur_sparse, g, W)
+        w = jnp.asarray(np.abs(np.random.default_rng(1).standard_normal(p.nlin)) + 0.1)
+        run_twice("lp_exact", schur_lp, p.C_lin, w)
+    elif mode == "chunk":
+        import loraine_tpu as lt
+        from loraine_tpu.ipm.initial import initial_point
+        from loraine_tpu.ipm.step import jitted_chunk
+
+        o = lt.Options(kit=0, eDIMACS=1e-5, initpoint=1, verb=0).validated()
+        state = initial_point(p, o)
+        chunk = jitted_chunk(o, -1, 8, mesh=None, mixed_assembly=True)
+        tol = jnp.asarray(o.tol_cg, dtype=p.b.dtype)
+        for i in (1, 2, 3):
+            t0 = time.time()
+            res = chunk(p, state, tol, 0, 0)
+            state = res.state
+            k = int(jax.device_get(res.k))
+            print(f"chunk dispatch {i}: k={k} status="
+                  f"{int(jax.device_get(res.status))} "
+                  f"({time.time()-t0:.1f}s)", flush=True)
+    else:
+        raise SystemExit(f"unknown mode {mode}")
+
+
+if __name__ == "__main__":
+    main()

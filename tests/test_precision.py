@@ -118,12 +118,32 @@ def test_theta1_dd2_iterate_tails(data_dir):
 def test_dd2_validation():
     import pytest as _pytest
 
-    # dd2 requires dense-stored data (Aadj_dd has no sparse path)
-    rng = np.random.default_rng(0)
     with _pytest.raises(ValueError):
         lt.Options(precision="dd2", dtype="float32").validated()
     with _pytest.raises(ValueError):
         lt.Options(nt_precision="dd", precision="dd").validated()
+
+
+def test_dd2_sparse_storage_floor(data_dir):
+    """dd2 on SPARSE-stored data (round-5: the dense-only guard is gone;
+    reference equivalent: type-generic assembly over any storage,
+    `src/makeBBBB.jl:39-218` over T). tru3 (2 LMI blocks + LP cone,
+    auto-routed to sparse storage at n=544) at precision='dd2' must reach
+    the dd-class residual floors — the per-cell Aadj_dd layout
+    (problem.ensure_dd_aadj) keeps the dual residual exact.
+    Measured (CPU, round 5): err1 ~ 8e-21, err3 ~ 5e-25."""
+    path = str(data_dir / "tru3.dat-s")
+    p = lt.load_problem(path, {"eDIMACS": 1e-9})
+    assert any(g.is_sparse for g in p.groups), "tru3 should auto-route sparse"
+    r = lt.solve_sdpa(
+        path,
+        {"kit": 0, "eDIMACS": 1e-9, "initpoint": 1, "verb": 0,
+         "precision": "dd2"},
+    )
+    assert r.status == 1, r.status_name
+    assert abs(r.objective - 0.0625018) < 1e-5
+    assert r.errs["err1"] < 1e-18
+    assert r.errs["err3"] < 1e-18
 
 
 def test_dd2_lp_cone_floor():

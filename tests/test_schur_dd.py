@@ -80,3 +80,72 @@ def test_schur_group_dd_rank1_vs_f64():
     Hdd = schur_group_dd(g, jnp.asarray(W), jnp.asarray(G))
     Hf = np.asarray(schur_group(g, jnp.asarray(W), jnp.asarray(G)))
     assert np.allclose(np.asarray(Hdd.hi) + np.asarray(Hdd.lo), Hf, rtol=1e-10)
+
+
+def test_aadj_dd_sparse_vs_exact():
+    """Sparse-storage dd adjoint (round-5: removes the dense-only dd2
+    guard): per-cell TwoProd + exact dd tree reduction + collision-free
+    placement must match the exact rational sum y_j A_j."""
+    from loraine_tpu.ops.dd import DD
+    from loraine_tpu.ops.schur import Aadj, Aadj_dd
+    from loraine_tpu.problem import ensure_dd_aadj
+
+    n, m = 12, 10
+    A = np.zeros((n, m, m))
+    for j in range(n):  # few-entry sparse symmetric data with cell overlap
+        for _ in range(3):
+            r, c = rng.integers(0, 4, 2)  # small range -> many collisions
+            v = rng.standard_normal()
+            A[j, r, c] += v
+            if r != c:
+                A[j, c, r] += v
+        A[j, j % m, j % m] += 1.0
+    C = np.eye(m) * m
+    p = problem_from_dense([A], [C], np.zeros(n), storage="sparse",
+                           pad_multiple=1)
+    p = ensure_dd_aadj(p)
+    g = p.groups[0]
+    assert g.is_sparse and g.Acell is not None
+
+    y_hi = rng.standard_normal(n)
+    y_lo = rng.standard_normal(n) * 1e-18
+    got = Aadj_dd(g, DD(jnp.asarray(y_hi), jnp.asarray(y_lo)))
+    # exact rational oracle over the (padded-expanded) dense data
+    Ad = np.zeros((m, m))
+    for a in range(m):
+        for b in range(m):
+            exact = sum(
+                (_frac(A[j, a, b]) * (_frac(y_hi[j]) + _frac(y_lo[j]))
+                 for j in range(n)),
+                Fraction(0),
+            )
+            err = abs(_frac(got.hi[0, a, b]) + _frac(got.lo[0, a, b]) - exact)
+            assert err <= abs(exact) * Fraction(1, 10**25) + Fraction(1, 10**28)
+    # hi part matches the f64 adjoint to f64 accuracy
+    f64 = np.asarray(Aadj(g, jnp.asarray(y_hi)))
+    assert np.allclose(np.asarray(got.hi), f64, rtol=1e-12, atol=1e-12)
+
+
+def test_aadj_dd_rank1_vs_exact():
+    """Rank-1 dd adjoint: TwoProd factor scaling + Ozaki GEMM vs the exact
+    rational sum sgn_j y_j b_j b_j^T."""
+    from loraine_tpu.ops.dd import DD
+    from loraine_tpu.ops.schur import Aadj_dd
+
+    p = _mk_problem(n=8, m=6, rank1=True)
+    g = p.groups[0]
+    assert g.is_rank1
+    n = 8
+    y_hi = rng.standard_normal(n)
+    y_lo = rng.standard_normal(n) * 1e-18
+    got = Aadj_dd(g, DD(jnp.asarray(y_hi), jnp.asarray(y_lo)))
+    B = np.asarray(g.B)
+    S = np.asarray(g.Bsgn)
+    for a, b in [(0, 0), (1, 4), (5, 2)]:
+        exact = sum(
+            (_frac(S[0, j]) * (_frac(y_hi[j]) + _frac(y_lo[j]))
+             * _frac(B[0, j, a]) * _frac(B[0, j, b]) for j in range(n)),
+            Fraction(0),
+        )
+        err = abs(_frac(got.hi[0, a, b]) + _frac(got.lo[0, a, b]) - exact)
+        assert err <= abs(exact) * Fraction(1, 10**25) + Fraction(1, 10**28)
