@@ -1447,8 +1447,22 @@ def jitted_chunk(opts: Options, precond_kind: int, K: int, mesh=None,
     )
     fn = _CHUNK_CACHE.get(key)
     if fn is None:
+        # XLA:CPU's O2/O3 backend pipeline explodes compiling the dd-NT
+        # chunk (MEASURED 2026-08: >60 GB RSS / bad_alloc even at m=8 —
+        # module-size pathology of the dd error-free-transform op mix;
+        # the standalone dd Jacobi compiles in ~6 s). Opt level 1
+        # compiles the same chunk in ~90 s within ~8 GB and PRESERVES
+        # the EFTs (measured err1 ~ 2e-22 on the small e2e gate). TPU
+        # (Mosaic/XLA:TPU) does not have the pathology — no override.
+        compiler_options = None
+        # 'auto' resolves to f64 NT on CPU (no dd Jacobi in the chunk), so
+        # only the explicit opt-in pays the reduced backend opt level.
+        if (opts.precision == "dd2" and opts.nt_precision == "dd"
+                and jax.default_backend() == "cpu"):
+            compiler_options = {"xla_backend_optimization_level": 1}
         fn = jax.jit(build_chunk(opts, precond_kind, K, mesh=mesh,
-                                 mixed_assembly=mixed_assembly))
+                                 mixed_assembly=mixed_assembly),
+                     compiler_options=compiler_options)
         _CHUNK_CACHE[key] = fn
     return fn
 

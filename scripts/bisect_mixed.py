@@ -84,21 +84,31 @@ def main():
         run_twice("sparse_exact", _schur_sparse, g, W)
         w = jnp.asarray(np.abs(np.random.default_rng(1).standard_normal(p.nlin)) + 0.1)
         run_twice("lp_exact", schur_lp, p.C_lin, w)
-    elif mode == "chunk":
+    elif mode.startswith("chunk"):
         import loraine_tpu as lt
+        from loraine_tpu.ipm import step as step_mod
         from loraine_tpu.ipm.initial import initial_point
         from loraine_tpu.ipm.step import jitted_chunk
+        from loraine_tpu.ops.schur import schur_group, schur_lp
+
+        if mode == "chunk_sparse_only":  # LP block exact, sparse mixed
+            step_mod.schur_lp_mixed = schur_lp
+        elif mode == "chunk_lp_only":  # sparse exact, LP mixed
+            step_mod.schur_group_mixed = (
+                lambda g_, W_, G_: schur_group(g_, W_, G_)
+            )
 
         o = lt.Options(kit=0, eDIMACS=1e-5, initpoint=1, verb=0).validated()
-        state = initial_point(p, o)
+        state0 = initial_point(p, o)
+        state = state0
         chunk = jitted_chunk(o, -1, 8, mesh=None, mixed_assembly=True)
         tol = jnp.asarray(o.tol_cg, dtype=p.b.dtype)
         for i in (1, 2, 3):
             t0 = time.time()
-            res = chunk(p, state, tol, 0, 0)
+            res = chunk(p, state0 if mode == "chunk_same_state" else state, tol, 0, 0)
             state = res.state
             k = int(jax.device_get(res.k))
-            print(f"chunk dispatch {i}: k={k} status="
+            print(f"{mode} dispatch {i}: k={k} status="
                   f"{int(jax.device_get(res.status))} "
                   f"({time.time()-t0:.1f}s)", flush=True)
     else:
