@@ -49,6 +49,9 @@ def run_twice(name, fn, *args):
 
 def main():
     mode = sys.argv[1]
+    import loraine_tpu as lt
+
+    lt._enable_persistent_cache()  # chunk compiles cost ~8 min via tunnel
     print("backend:", jax.default_backend(), flush=True)
     if mode == "solve64":
         import loraine_tpu as lt
@@ -111,6 +114,28 @@ def main():
             print(f"{mode} dispatch {i}: k={k} status="
                   f"{int(jax.device_get(res.status))} "
                   f"({time.time()-t0:.1f}s)", flush=True)
+            if mode == "chunk_diag":
+                buf = jax.device_get(res.buf)
+                for r in range(k):
+                    print(
+                        f"  it{r}: obj={buf.obj[r]:.6e} mu={buf.mu[r]:.3e} "
+                        f"dimacs={buf.dimacs[r]:.3e} h_ok={bool(buf.h_ok[r])} "
+                        f"h_shifts={int(buf.h_shifts[r])} "
+                        f"nt_ok={bool(buf.nt_ok[r])}",
+                        flush=True,
+                    )
+                import numpy as _np
+
+                for nm in ("y", "X", "S", "X_lin", "S_lin"):
+                    v = getattr(state, nm, None)
+                    if v is None:
+                        continue
+                    leaves = jax.tree_util.tree_leaves(v)
+                    for li, leaf in enumerate(leaves):
+                        a = _np.asarray(jax.device_get(leaf))
+                        print(f"  state.{nm}[{li}]: finite="
+                              f"{bool(_np.isfinite(a).all())} "
+                              f"absmax={_np.abs(a).max():.3e}", flush=True)
     else:
         raise SystemExit(f"unknown mode {mode}")
 
