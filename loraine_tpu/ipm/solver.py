@@ -260,13 +260,11 @@ class Solver:
             )
         else:
             mixed = False
-        if mixed:
-            # attach the f32 flattened copy for sparse groups lazily — it
-            # can cost ~1.5 GB host+HBM, so only solves that actually run
-            # the mixed path build it (problem.py ensure_a_flat32)
-            from ..problem import ensure_a_flat32
-
-            p = ensure_a_flat32(p, mesh)
+        # NOTE: the sparse-mixed A_flat32 fast path is disabled pending the
+        # TPU worker fault (ops/schur.py schur_group_mixed), so the solver
+        # no longer attaches the f32 copy (problem.py ensure_a_flat32 —
+        # kept for the bisect harness and unit tests). Mixed assembly still
+        # covers the LP block and dense-stored groups.
         with self.timer.phase("build/compile step"):
             chunk = jitted_chunk(o, precond_kind, K, mesh=mesh,
                                  mixed_assembly=mixed)

@@ -274,9 +274,17 @@ def schur_group_mixed(group: BlockGroup, W: jax.Array, G: jax.Array) -> jax.Arra
     if group.is_rank1:
         return schur_group(group, W, G)
     if group.is_sparse:
-        if group.A_flat32 is None:
-            return _schur_sparse(group, W)
-        return _schur_sparse_mixed(group, W)
+        # ROUND-5 BISECTION (scripts/bisect_mixed.py, real v5e): the
+        # _schur_sparse_mixed fast path deterministically kills the TPU
+        # worker on the SECOND chunk dispatch of a tru9-class solve —
+        # value/provenance-dependent (dispatch 1 runs 8 healthy
+        # iterations; same-state re-dispatch is clean; the kernel alone
+        # is clean standalone; an optimization barrier does not help),
+        # while the LP-mixed and dense-mixed paths run clean through
+        # full solves. Until the runtime fault is root-caused, sparse
+        # groups KEEP THE EXACT f64 gather path under mixed assembly —
+        # this is what poisoned 4 of 6 rows of the round-4 bench.
+        return _schur_sparse(group, W)
     nb, n, m, _ = group.A.shape
     W32 = W.astype(f32)
     J = int(min(n, max(8, (1 << 22) // max(1, nb * m * m))))

@@ -92,7 +92,22 @@ def main():
         from loraine_tpu.ipm import step as step_mod
         from loraine_tpu.ipm.initial import initial_point
         from loraine_tpu.ipm.step import jitted_chunk
-        from loraine_tpu.ops.schur import schur_group, schur_lp
+        from loraine_tpu.ops.schur import (
+            _schur_sparse_mixed,
+            schur_group,
+            schur_group_mixed,
+            schur_lp,
+        )
+
+        # schur_group_mixed routes sparse groups to the EXACT path since the
+        # round-5 mitigation — the chunk modes here exist to study the
+        # original crasher, so re-enable the A_flat32 fast path for them
+        def _mixed_with_sparse_fast(g_, W_, G_):
+            if g_.is_sparse and g_.A_flat32 is not None:
+                return _schur_sparse_mixed(g_, W_)
+            return schur_group_mixed(g_, W_, G_)
+
+        step_mod.schur_group_mixed = _mixed_with_sparse_fast
 
         if mode == "chunk_sparse_only":  # LP block exact, sparse mixed
             step_mod.schur_lp_mixed = schur_lp
@@ -100,16 +115,83 @@ def main():
             step_mod.schur_group_mixed = (
                 lambda g_, W_, G_: schur_group(g_, W_, G_)
             )
+        elif mode == "chunk_sparse_barrier":
+            # sparse mixed with an optimization barrier between the gather
+            # stage and the f32 GEMM (tests the fused-kernel-bug hypothesis);
+            # LP exact to isolate
+            step_mod.schur_lp_mixed = schur_lp
+
+            def _sparse_mixed_barrier(group, W, G):
+                nb_, n_, s_ = group.Avals.shape
+                m_ = group.m
+                J = int(min(n_, max(8, (1 << 25) // max(1, nb_ * n_ * s_))))
+                nch = -(-n_ // J)
+                npad = nch * J
+
+                def pad_r(x):
+                    return jnp.pad(x, ((0, 0), (0, npad - n_), (0, 0)))
+
+                rows_c = pad_r(group.Arows).reshape(nb_, nch, J, s_).transpose(1, 0, 2, 3)
+                cols_c = pad_r(group.Acols).reshape(nb_, nch, J, s_).transpose(1, 0, 2, 3)
+                vals_c = pad_r(group.Avals).reshape(nb_, nch, J, s_).transpose(1, 0, 2, 3)
+                Af32 = group.A_flat32
+
+                def body(chunk_):
+                    r_c, c_c, v_c = chunk_
+                    Wa = jax.vmap(lambda Wb, idx: Wb[idx])(W, r_c)
+                    Wc = jax.vmap(lambda Wb, idx: Wb[idx])(W, c_c)
+                    T2 = jnp.einsum("bjtp,bjt,bjtq->bjpq", Wa, v_c, Wc)
+                    T32 = T2.reshape(nb_, J, m_ * m_).astype(jnp.float32)
+                    T32 = jax.lax.optimization_barrier(T32)
+                    return jnp.einsum("bjk,bnk->jn", T32, Af32).astype(W.dtype)
+
+                Hrows = jax.lax.map(body, (rows_c, cols_c, vals_c))
+                return Hrows.reshape(npad, n_)[:n_]
+
+            step_mod.schur_group_mixed = _sparse_mixed_barrier
 
         o = lt.Options(kit=0, eDIMACS=1e-5, initpoint=1, verb=0).validated()
         state0 = initial_point(p, o)
         state = state0
-        chunk = jitted_chunk(o, -1, 8, mesh=None, mixed_assembly=True)
+        K = 1 if mode == "chunk_k1" else 8
+        chunk = jitted_chunk(o, -1, K, mesh=None, mixed_assembly=True)
         tol = jnp.asarray(o.tol_cg, dtype=p.b.dtype)
+        if mode == "chunk_k1":
+            # one iteration per dispatch, saving every state: the dispatch
+            # that dies identifies the faulting ITERATION, and its saved
+            # input state is the minimal offline repro seed
+            for i in range(1, 21):
+                host = jax.device_get(state)
+                np.savez(
+                    f"/tmp/tru9_state_it{i-1}.npz",
+                    **{f"X{j}": x for j, x in enumerate(host.X)},
+                    **{f"S{j}": s for j, s in enumerate(host.S)},
+                    y=host.y, X_lin=host.X_lin, S_lin=host.S_lin,
+                    sigma=host.sigma,
+                )
+                t0 = time.time()
+                res = chunk(p, state, tol, i - 1, 0)
+                state = res.state
+                k = int(jax.device_get(res.k))
+                st = int(jax.device_get(res.status))
+                print(f"chunk_k1 dispatch {i}: k={k} status={st} "
+                      f"dimacs={float(jax.device_get(res.buf.dimacs)[0]):.3e} "
+                      f"({time.time()-t0:.1f}s)", flush=True)
+                if st != 0:
+                    break
+            return
         for i in (1, 2, 3):
             t0 = time.time()
             res = chunk(p, state0 if mode == "chunk_same_state" else state, tol, 0, 0)
-            state = res.state
+            if mode == "chunk_reupload":
+                # round-trip the state through the host: same VALUES as the
+                # crashing continuation, but freshly-uploaded buffers
+                # (discriminates value-dependence from output-buffer
+                # provenance/layout)
+                host = jax.device_get(res.state)
+                state = jax.tree_util.tree_map(jnp.asarray, host)
+            else:
+                state = res.state
             k = int(jax.device_get(res.k))
             print(f"{mode} dispatch {i}: k={k} status="
                   f"{int(jax.device_get(res.status))} "
