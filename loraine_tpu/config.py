@@ -141,18 +141,25 @@ class Options:
     # the x4-class tier: the DIMACS floor is no longer pinned by f64
     # iterate storage (direct path only; see docs/precision.md).
     precision: str = "f64"
-    # Schur-assembly precision schedule. 'auto' (default): on TPU, for
-    # flop-heavy problems (n >= 512), assemble H with f32 MXU GEMMs
-    # (ops/schur.py schur_group_mixed — measured ~10x the emulated-f64
-    # GEMM throughput on v5e) while total DIMACS > 1e-3, then rebuild
-    # with the exact f64 assembly for the endgame. Residuals, NT scaling,
-    # directions, and the DIMACS errors stay f64 throughout, so reported
-    # accuracy is trustworthy in both phases. 'f64': always exact.
-    # 'f32': force the mixed assembly for the whole solve (testing /
-    # loose-tolerance runs). Reference cost profile: `src/makeBBBB.jl:
-    # 24-36`; the switch mirrors the reference's hybrid-preconditioner
-    # rebuild mechanics (`src/Solvers.jl:339-347`).
-    assembly_precision: str = "auto"
+    # Schur-assembly precision schedule. 'f64' (DEFAULT, round 5): always
+    # exact. 'auto': on TPU, for flop-heavy problems (n >= 512), assemble
+    # H with f32 MXU GEMMs (ops/schur.py schur_group_mixed) while total
+    # DIMACS > 1e-3, then rebuild with the exact f64 assembly for the
+    # endgame; residuals/NT/DIMACS stay f64 throughout. 'f32': force the
+    # mixed assembly for the whole solve (testing / loose-tolerance runs).
+    # WHY f64 IS THE DEFAULT: on the attached axon/v5e runtime the mixed
+    # chunk is implicated in value-triggered TPU-worker deaths that the
+    # round-5 bisection could narrow but not fix (ops/schur.py
+    # schur_group_mixed, ROADMAP #1): both f32 sparse formulations fault
+    # mid-solve, and even the LP-mixed-only solve died after its handover
+    # rebuild, while the pure-f64 path solves every bench case clean at
+    # the same steady-state speed class (the measured mixed win on tru9
+    # was only ~8%/iter). 'auto'/'f32' remain available for runtimes
+    # without the fault and are exercised on CPU by the multichip gate.
+    # Reference cost profile: `src/makeBBBB.jl:24-36`; the switch mirrors
+    # the reference's hybrid-preconditioner rebuild mechanics
+    # (`src/Solvers.jl:339-347`).
+    assembly_precision: str = "f64"
     # NT-scaling arithmetic for the dd2 tier. The measured dd2 wall
     # (docs/precision.md "the f64 NT wall") is the f64 NT stack: past
     # mu ~ 1e-14 the congruent spectrum eig(L_x' S L_x) sinks below the

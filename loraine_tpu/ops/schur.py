@@ -275,15 +275,23 @@ def schur_group_mixed(group: BlockGroup, W: jax.Array, G: jax.Array) -> jax.Arra
         return schur_group(group, W, G)
     if group.is_sparse:
         # ROUND-5 BISECTION (scripts/bisect_mixed.py, real v5e): the
-        # _schur_sparse_mixed fast path deterministically kills the TPU
-        # worker on the SECOND chunk dispatch of a tru9-class solve —
-        # value/provenance-dependent (dispatch 1 runs 8 healthy
-        # iterations; same-state re-dispatch is clean; the kernel alone
-        # is clean standalone; an optimization barrier does not help),
-        # while the LP-mixed and dense-mixed paths run clean through
-        # full solves. Until the runtime fault is root-caused, sparse
-        # groups KEEP THE EXACT f64 gather path under mixed assembly —
-        # this is what poisoned 4 of 6 rows of the round-4 bench.
+        # A_flat32 GEMM fast path (_schur_sparse_mixed) deterministically
+        # kills the TPU worker at iteration 13 of a tru9-class solve —
+        # value-triggered, only inside the full chunk graph (the kernel
+        # alone is clean with the same W; same-state re-dispatch is clean;
+        # host re-upload of the continuation state still crashes; removing
+        # every Pallas kernel still crashes; an optimization barrier does
+        # not help) — an XLA:TPU codegen/runtime fault we can only
+        # sidestep. The f32 SECOND-GATHER formulation
+        # (_schur_sparse_f32gather, no 300 MB operand) survived 20
+        # straight K=1 iterations but ALSO killed the worker later in a
+        # full solve (iterations 17-24, DIMACS ~1e-3 regime) — both f32
+        # sparse formulations fault in-chunk at late-phase values.
+        # Sparse groups therefore KEEP THE EXACT f64 gather path; mixed
+        # assembly still covers the LP block and dense groups (the
+        # LP-mixed-only tru9 configuration ran a full solve clean through
+        # the handover in the bisect harness). Both f32 formulations are
+        # kept for the harness only.
         return _schur_sparse(group, W)
     nb, n, m, _ = group.A.shape
     W32 = W.astype(f32)
@@ -301,6 +309,44 @@ def schur_group_mixed(group: BlockGroup, W: jax.Array, G: jax.Array) -> jax.Arra
         return (Tflat @ Aflat.T).astype(f64)
 
     Hrows = jax.lax.map(body, Achunks)
+    return Hrows.reshape(npad, n)[:n]
+
+
+def _schur_sparse_f32gather(group: BlockGroup, W: jax.Array) -> jax.Array:
+    """Sparse mixed-assembly CANDIDATE without the A_flat32 dense copy:
+    exact f64 gathers/outer products for T2 (cheap), then the measured-
+    dominant second gather (T2 rows at the COO flat indices) and the
+    final contraction in f32 — half the gather bytes of the exact path,
+    no 300 MB flattened operand. Structurally identical to _schur_sparse
+    (same gather pipeline), so it avoids the in-chunk XLA:TPU fault of
+    the A_flat32 GEMM formulation (see schur_group_mixed)."""
+    nb, n, s = group.Avals.shape
+    m = group.m
+    J = int(min(n, max(8, (1 << 25) // max(1, nb * n * s))))
+    nch = -(-n // J)
+    npad = nch * J
+
+    def pad_r(x):
+        return jnp.pad(x, ((0, 0), (0, npad - n), (0, 0)))
+
+    rows_c = pad_r(group.Arows).reshape(nb, nch, J, s).transpose(1, 0, 2, 3)
+    cols_c = pad_r(group.Acols).reshape(nb, nch, J, s).transpose(1, 0, 2, 3)
+    vals_c = pad_r(group.Avals).reshape(nb, nch, J, s).transpose(1, 0, 2, 3)
+    flatk = group.Arows.astype(jnp.int32) * m + group.Acols.astype(jnp.int32)
+    vals32 = group.Avals.astype(jnp.float32)
+
+    def body(chunk):
+        r_c, c_c, v_c = chunk  # each [nb, J, s]
+        Wa = jax.vmap(lambda Wb, idx: Wb[idx])(W, r_c)  # [nb, J, s, m]
+        Wc = jax.vmap(lambda Wb, idx: Wb[idx])(W, c_c)
+        T2 = jnp.einsum("bjtp,bjt,bjtq->bjpq", Wa, v_c, Wc)
+        T32 = T2.reshape(nb, J, m * m).astype(jnp.float32)
+        G = jax.vmap(lambda t2, fk: t2[:, fk.reshape(-1)])(T32, flatk)
+        return jnp.einsum(
+            "bjks,bks->jk", G.reshape(nb, J, n, s), vals32
+        ).astype(W.dtype)
+
+    Hrows = jax.lax.map(body, (rows_c, cols_c, vals_c))  # [nch, J, n]
     return Hrows.reshape(npad, n)[:n]
 
 

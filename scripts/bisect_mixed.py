@@ -53,17 +53,20 @@ def main():
 
     lt._enable_persistent_cache()  # chunk compiles cost ~8 min via tunnel
     print("backend:", jax.default_backend(), flush=True)
-    if mode == "solve64":
+    if mode in ("solve64", "solve_auto"):
         import loraine_tpu as lt
 
+        ap = "f64" if mode == "solve64" else "auto"
         t0 = time.time()
         r = lt.solve_sdpa(
             "tests/data/tru9.dat-s",
             {"kit": 0, "eDIMACS": 1e-5, "initpoint": 1, "verb": 1,
-             "assembly_precision": "f64"},
+             "assembly_precision": ap},
         )
-        print("solve64:", r.status_name, r.objective, r.dimacs,
-              f"{time.time()-t0:.1f}s", flush=True)
+        times = r.iteration_times[1:] or r.iteration_times
+        print(f"{mode}:", r.status_name, r.objective, r.dimacs,
+              f"{time.time()-t0:.1f}s",
+              f"it/s={len(times)/sum(times):.2f}", flush=True)
         return
 
     from loraine_tpu.ops.schur import (
@@ -80,6 +83,24 @@ def main():
 
     if mode == "sparse":
         run_twice("sparse_mixed", _schur_sparse_mixed, g, W)
+    elif mode == "sparse_real":
+        # the standalone mixed kernel with the REAL iteration-12 NT scaling
+        # (the state whose next step kills the worker in-chunk)
+        from loraine_tpu.ops.nt_scaling import nt_scale
+
+        import loraine_tpu as lt2
+
+        d = np.load("/tmp/tru9_state_it12.npz")
+        X, S = jnp.asarray(d["X0"]), jnp.asarray(d["S0"])
+        o = lt2.Options().validated()
+        nt = jax.jit(lambda X, S: nt_scale(
+            X, S, method=o.nt_method, eigh_backend=o.eigh_backend))(X, S)
+        Wr = nt.W
+        print("W absmax", float(jnp.abs(Wr).max()), flush=True)
+        run_twice("sparse_mixed_realW", _schur_sparse_mixed, g, Wr)
+        # and the LP weight path from the same state
+        lpw = jnp.asarray(d["X_lin"]) / jnp.asarray(d["S_lin"])
+        run_twice("lp_mixed_realw", schur_lp_mixed, p.C_lin, lpw)
     elif mode == "lp":
         w = jnp.asarray(np.abs(np.random.default_rng(1).standard_normal(p.nlin)) + 0.1)
         run_twice("lp_mixed", schur_lp_mixed, p.C_lin, w)
@@ -150,13 +171,31 @@ def main():
 
             step_mod.schur_group_mixed = _sparse_mixed_barrier
 
-        o = lt.Options(kit=0, eDIMACS=1e-5, initpoint=1, verb=0).validated()
+        if mode == "chunk_k1_f32g":
+            # candidate fast path: f32 second-gather formulation (no
+            # A_flat32) — must sail past iteration 13
+            from loraine_tpu.ops.schur import _schur_sparse_f32gather
+
+            def _mixed_f32g(g_, W_, G_):
+                if g_.is_sparse:
+                    return _schur_sparse_f32gather(g_, W_)
+                return schur_group_mixed(g_, W_, G_)
+
+            step_mod.schur_group_mixed = _mixed_f32g
+        okw = {}
+        if mode == "chunk_k1_nopallas":
+            # no Pallas kernels anywhere in the chunk: steplengths via the
+            # Cholesky bisection bound, NT eigh via the XLA-level Jacobi —
+            # discriminates "sparse-mixed GEMM faults" from "sparse-mixed
+            # H values feed a faulting Pallas kernel downstream"
+            okw = {"step_eig": "chol", "eigh_backend": "jacobi"}
+        o = lt.Options(kit=0, eDIMACS=1e-5, initpoint=1, verb=0, **okw).validated()
         state0 = initial_point(p, o)
         state = state0
-        K = 1 if mode == "chunk_k1" else 8
+        K = 1 if mode.startswith("chunk_k1") else 8
         chunk = jitted_chunk(o, -1, K, mesh=None, mixed_assembly=True)
         tol = jnp.asarray(o.tol_cg, dtype=p.b.dtype)
-        if mode == "chunk_k1":
+        if mode.startswith("chunk_k1"):
             # one iteration per dispatch, saving every state: the dispatch
             # that dies identifies the faulting ITERATION, and its saved
             # input state is the minimal offline repro seed
@@ -180,7 +219,8 @@ def main():
                 if st != 0:
                     break
             return
-        for i in (1, 2, 3):
+        ndisp = 6 if mode == "chunk_lp_only" else 3
+        for i in range(1, ndisp + 1):
             t0 = time.time()
             res = chunk(p, state0 if mode == "chunk_same_state" else state, tol, 0, 0)
             if mode == "chunk_reupload":
@@ -196,6 +236,15 @@ def main():
             print(f"{mode} dispatch {i}: k={k} status="
                   f"{int(jax.device_get(res.status))} "
                   f"({time.time()-t0:.1f}s)", flush=True)
+            if int(jax.device_get(res.status)) != 0:
+                break
+        # asynchronous-death probe: a fault planted by a dispatch may kill
+        # the worker seconds later; linger and poke the device so a delayed
+        # corpse surfaces in THIS process instead of looking clean
+        for wait_i in range(3):
+            time.sleep(45)
+            probe = float(jnp.sum(jnp.ones((8, 8)) * (wait_i + 1)))
+            print(f"linger probe {wait_i + 1} ok: {probe}", flush=True)
             if mode == "chunk_diag":
                 buf = jax.device_get(res.buf)
                 for r in range(k):

@@ -153,7 +153,9 @@ def test_mixed_assembly_matches_f64():
     G = jnp.linalg.cholesky(W)
     assert relerr(schur_group_mixed(g, W, G), schur_group(g, W, G)) < 1e-5
 
-    # sparse (with the A_flat32 GEMM route)
+    # sparse: the SHIPPED mixed path is the f32 second-gather formulation
+    # (schur_group_mixed routes there; the A_flat32 GEMM formulation is
+    # quarantined to the bisect harness after the round-5 TPU fault)
     As = np.zeros((n, m, m))
     for j in range(n):
         r, c = rng.integers(0, m, 2)
@@ -162,13 +164,17 @@ def test_mixed_assembly_matches_f64():
         As[j, j % m, j % m] += 1.0
     ps = lt.problem_from_dense([As], [np.eye(m) * m], np.zeros(n),
                                storage="sparse", pad_multiple=1)
-    assert ps.groups[0].A_flat32 is None  # lazy: attached only when mixed engages
-    from loraine_tpu.problem import ensure_a_flat32
-    ps = ensure_a_flat32(ps)
+    assert ps.groups[0].A_flat32 is None  # never built on load
     gs = ps.groups[0]
-    assert gs.A_flat32 is not None
     Ws = W[:1]
     assert relerr(schur_group_mixed(gs, Ws, G[:1]), schur_group(gs, Ws, G[:1])) < 1e-5
+    # the quarantined A_flat32 formulation stays numerically correct
+    from loraine_tpu.ops.schur import _schur_sparse_mixed
+    from loraine_tpu.problem import ensure_a_flat32
+    ps2 = ensure_a_flat32(ps)
+    gs2 = ps2.groups[0]
+    assert gs2.A_flat32 is not None
+    assert relerr(_schur_sparse_mixed(gs2, Ws), schur_group(gs2, Ws, G[:1])) < 1e-5
 
     # rank-1
     V = rng.standard_normal((n, m))
