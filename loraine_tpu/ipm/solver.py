@@ -218,7 +218,15 @@ class Solver:
             profiler_cm.__enter__()
 
         precond_kind = o.preconditioner if o.kit == 1 else -1
-        K = max(1, min(STEPS_PER_DISPATCH, o.maxit))
+        # iterations per dispatch: tiny problems (control1-class) amortize
+        # the ~25-30 ms tunnel round trip over more on-device iterations —
+        # at n <= 64 one iteration is ~10 ms, so K=8 leaves ~3.5 ms/iter of
+        # pure dispatch+fetch overhead that K=64 shrinks to ~0.5 ms. The
+        # compile cost is unchanged (K is just the while_loop trip bound
+        # and the stats-buffer row count); the device loop still stops at
+        # convergence, so large K never overshoots.
+        base_k = 64 if (p.n <= 64 and p.sum_msizes <= 256) else STEPS_PER_DISPATCH
+        K = max(1, min(base_k, o.maxit))
         # sharded problems carry their mesh on the data; pass it to the step
         # builder so the CG vectors are anchored to the schur axis (the
         # distributed Schur solve — see build_step)
