@@ -312,6 +312,74 @@ def schur_group_mixed(group: BlockGroup, W: jax.Array, G: jax.Array) -> jax.Arra
     return Hrows.reshape(npad, n)[:n]
 
 
+def _schur_sparse_dd(
+    group: BlockGroup, W: jax.Array, W_lo: jax.Array | None = None
+) -> DD:
+    """Sparse-data Schur contribution in double-double (dd2 tier; the
+    reference's type-generic `makeBBBB` sparse loops at T = Float64x4,
+    `src/makeBBBB.jl:39-218`). Same gather pipeline as `_schur_sparse`,
+    re-based on dd arithmetic: per COO slot t the outer-product term
+    v_t (W e_{r_t}) (W e_{c_t})^T enters T2 as TwoProd pairs accumulated
+    with dd addition, the second gather moves (hi, lo) pairs exactly, and
+    the final contraction against Avals is TwoProd + dd accumulation.
+    The static slot loop (s is small) keeps peak memory at one
+    [nb, J, m, m] dd accumulator instead of an [nb, J, s, m, m] stack.
+    ``W_lo``: first-order NT-tail terms (nt_precision='dd'), folded into
+    T2's low words like the dense path does."""
+    nb, n, s = group.Avals.shape
+    m = group.m
+    J = int(min(n, max(4, (1 << 21) // max(1, nb * m * m))))
+    nch = -(-n // J)
+    npad = nch * J
+
+    def pad_r(x):
+        return jnp.pad(x, ((0, 0), (0, npad - n), (0, 0)))
+
+    rows_c = pad_r(group.Arows).reshape(nb, nch, J, s).transpose(1, 0, 2, 3)
+    cols_c = pad_r(group.Acols).reshape(nb, nch, J, s).transpose(1, 0, 2, 3)
+    vals_c = pad_r(group.Avals).reshape(nb, nch, J, s).transpose(1, 0, 2, 3)
+    flatk = group.Arows.astype(jnp.int32) * m + group.Acols.astype(jnp.int32)
+
+    def body(chunk):
+        r_c, c_c, v_c = chunk  # each [nb, J, s]
+        Wa = jax.vmap(lambda Wb, idx: Wb[idx])(W, r_c)  # [nb, J, s, m]
+        Wc = jax.vmap(lambda Wb, idx: Wb[idx])(W, c_c)
+        acc_hi = jnp.zeros((nb, J, m, m), dtype=W.dtype)
+        acc_lo = jnp.zeros((nb, J, m, m), dtype=W.dtype)
+        acc = DD(acc_hi, acc_lo)
+        for t in range(s):
+            av = two_prod(Wa[:, :, t, :], v_c[:, :, t, None])  # [nb, J, m]
+            outer = two_prod(av.hi[..., :, None], Wc[:, :, t, None, :])
+            term = DD(
+                outer.hi,
+                outer.lo + av.lo[..., :, None] * Wc[:, :, t, None, :],
+            )
+            acc = dd_add(acc, term)
+        if W_lo is not None:
+            Wal = jax.vmap(lambda Wb, idx: Wb[idx])(W_lo, r_c)
+            Wcl = jax.vmap(lambda Wb, idx: Wb[idx])(W_lo, c_c)
+            corr = jnp.einsum("bjtp,bjt,bjtq->bjpq", Wal, v_c, Wc)
+            corr = corr + jnp.einsum("bjtp,bjt,bjtq->bjpq", Wa, v_c, Wcl)
+            acc = DD(acc.hi, acc.lo + corr)
+        T2 = DD(acc.hi.reshape(nb, J, m * m), acc.lo.reshape(nb, J, m * m))
+        Ghi = jax.vmap(lambda t2, fk: t2[:, fk.reshape(-1)])(T2.hi, flatk)
+        Glo = jax.vmap(lambda t2, fk: t2[:, fk.reshape(-1)])(T2.lo, flatk)
+        Ghi = Ghi.reshape(nb, J, n, s)
+        Glo = Glo.reshape(nb, J, n, s)
+        hrow_hi = jnp.zeros((nb, J, n), dtype=W.dtype)
+        hrow = DD(hrow_hi, jnp.zeros_like(hrow_hi))
+        for t in range(s):
+            p = two_prod(Ghi[..., t], group.Avals[:, None, :, t])
+            p = DD(p.hi, p.lo + Glo[..., t] * group.Avals[:, None, :, t])
+            hrow = dd_add(hrow, p)
+        # accumulate the block axis in dd
+        out = dd_sum(hrow, axis=0)  # [J, n]
+        return out.hi, out.lo
+
+    Hh, Hl = jax.lax.map(body, (rows_c, cols_c, vals_c))  # [nch, J, n]
+    return DD(Hh.reshape(npad, n)[:n], Hl.reshape(npad, n)[:n])
+
+
 def _schur_sparse_f32gather(group: BlockGroup, W: jax.Array) -> jax.Array:
     """Sparse mixed-assembly CANDIDATE without the A_flat32 dense copy:
     exact f64 gathers/outer products for T2 (cheap), then the measured-
@@ -451,9 +519,11 @@ def schur_group_dd(
     in the direction formulas, so the Schur-solve refinement converges to
     the tailed operator's solution.
 
-    Sparse-storage groups fall back to the f64 gather path (their Schur
-    contribution enters the dd accumulator with an f64-accurate hi part);
-    the dd mode's intended regime is dense/rank-1 data."""
+    Sparse-storage groups run the dd gather pipeline (`_schur_sparse_dd`,
+    round 5): without it the Schur-solve refinement targets an f64-rounded
+    operator and the feasibility-exact direction identity A(delX) = Rp
+    breaks at u64 * ||H|| — measured as a 9e-15 err1 floor on sparse-stored
+    tru3 dd2 (the dd H restores the dd-class floor)."""
     if group.is_rank1:
         BG = acc_matmul(group.B, G)  # [nb, n, m] dd
         if G_lo is not None:
@@ -470,8 +540,7 @@ def schur_group_dd(
         sgn = group.Bsgn[:, :, None] * group.Bsgn[:, None, :]
         return dd_sum(DD(Psq.hi * sgn, Psq.lo * sgn), axis=0)
     if group.is_sparse:
-        H = _schur_sparse(group, W)
-        return DD(H, jnp.zeros_like(H))
+        return _schur_sparse_dd(group, W, W_lo)
     nb, n, m, _ = group.A.shape
     WA = acc_matmul(W[:, None], group.A)  # [nb, n, m, m] dd
     T = acc_matmul(WA.hi, W[:, None])

@@ -156,10 +156,10 @@ def test_dd2_sparse_storage_floor(data_dir):
     (problem.ensure_dd_aadj) keeps the dual residual exact.
     Measured (CPU, round 5): err1 ~ 8e-21, err3 ~ 5e-25."""
     path = str(data_dir / "tru3.dat-s")
-    p = lt.load_problem(path, {"eDIMACS": 1e-9})
-    assert any(g.is_sparse for g in p.groups), "tru3 should auto-route sparse"
-    r = lt.solve_sdpa(
-        path,
+    p = lt.problem_from_sdpa(path, storage="sparse")
+    assert any(g.is_sparse for g in p.groups)
+    r = lt.solve(
+        p,
         {"kit": 0, "eDIMACS": 1e-9, "initpoint": 1, "verb": 0,
          "precision": "dd2"},
     )

@@ -149,3 +149,45 @@ def test_aadj_dd_rank1_vs_exact():
         )
         err = abs(_frac(got.hi[0, a, b]) + _frac(got.lo[0, a, b]) - exact)
         assert err <= abs(exact) * Fraction(1, 10**25) + Fraction(1, 10**28)
+
+
+def test_schur_sparse_dd_vs_exact():
+    """Sparse-storage dd Schur assembly (round-5: without it the sparse
+    dd2 refinement targeted an f64-rounded operator and err1 floored at
+    9e-15): the dd gather pipeline must match the exact rational
+    <A_j, W A_k W> to dd resolution."""
+    from loraine_tpu.ops.schur import _schur_sparse, _schur_sparse_dd
+
+    n, m = 14, 8
+    A = np.zeros((n, m, m))
+    for j in range(n):
+        r, c = rng.integers(0, m, 2)
+        v = rng.standard_normal()
+        A[j, r, c] += v
+        if r != c:
+            A[j, c, r] += v
+        A[j, j % m, j % m] += 1.0
+    p = problem_from_dense([A], [np.eye(m) * m], np.zeros(n),
+                           storage="sparse", pad_multiple=1)
+    g = p.groups[0]
+    W = rng.standard_normal((1, g.m, g.m))
+    W = jnp.asarray(W @ W.transpose(0, 2, 1) + g.m * np.eye(g.m))
+    Hdd = _schur_sparse_dd(g, W)
+    Wn = np.asarray(W)
+    for j, k in [(0, 0), (3, 7), (9, 2)]:
+        exact = Fraction(0)
+        for a in range(m):
+            for b in range(m):
+                if A[j, a, b] == 0:
+                    continue
+                wak = sum(
+                    (_frac(Wn[0, a, t]) * _frac(A[k, t, u]) * _frac(Wn[0, u, b])
+                     for t in range(m) for u in range(m) if A[k, t, u] != 0),
+                    Fraction(0),
+                )
+                exact += _frac(A[j, a, b]) * wak
+        got = _frac(Hdd.hi[j, k]) + _frac(Hdd.lo[j, k])
+        assert abs(got - exact) <= abs(exact) * Fraction(1, 10**25) + Fraction(1, 10**28)
+    # hi part agrees with the f64 gather path to f64 accuracy
+    He = np.asarray(_schur_sparse(g, W))
+    assert np.allclose(np.asarray(Hdd.hi), He, rtol=1e-12, atol=1e-12)
