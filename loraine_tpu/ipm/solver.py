@@ -225,7 +225,12 @@ class Solver:
         # compile cost is unchanged (K is just the while_loop trip bound
         # and the stats-buffer row count); the device loop still stops at
         # convergence, so large K never overshoots.
-        base_k = 64 if (p.n <= 64 and p.sum_msizes <= 256) else STEPS_PER_DISPATCH
+        if p.n <= 64 and p.sum_msizes <= 256:
+            base_k = 64  # control1-class: ~10 ms/iter
+        elif p.n <= 256 and p.sum_msizes <= 512:
+            base_k = 32  # theta1-class: ~20 ms/iter
+        else:
+            base_k = STEPS_PER_DISPATCH
         K = max(1, min(base_k, o.maxit))
         # sharded problems carry their mesh on the data; pass it to the step
         # builder so the CG vectors are anchored to the schur axis (the
