@@ -286,12 +286,12 @@ def schur_group_mixed(group: BlockGroup, W: jax.Array, G: jax.Array) -> jax.Arra
         # (_schur_sparse_f32gather, no 300 MB operand) survived 20
         # straight K=1 iterations but ALSO killed the worker later in a
         # full solve (iterations 17-24, DIMACS ~1e-3 regime) — both f32
-        # sparse formulations fault in-chunk at late-phase values.
-        # Sparse groups therefore KEEP THE EXACT f64 gather path; mixed
-        # assembly still covers the LP block and dense groups (the
-        # LP-mixed-only tru9 configuration ran a full solve clean through
-        # the handover in the bisect harness). Both f32 formulations are
-        # kept for the harness only.
+        # sparse formulations fault in-chunk at late-phase values — as
+        # does the LP-mixed chunk once re-dispatched past its natural
+        # mixed_off stop (ROADMAP #1 has the full fact chain), which is
+        # why assembly_precision defaults to 'f64'. Sparse groups keep
+        # the exact f64 gather path even under explicit 'auto'/'f32';
+        # both f32 formulations are kept for the bisect harness only.
         return _schur_sparse(group, W)
     nb, n, m, _ = group.A.shape
     W32 = W.astype(f32)
